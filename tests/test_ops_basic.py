@@ -1,0 +1,167 @@
+"""Numerics tests for basic ops vs cv2 / torch-cpu oracles."""
+
+import numpy as np
+import pytest
+
+
+def test_resize_bicubic_matches_cv2_upscale():
+    import cv2
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import resize
+
+    rng = np.random.default_rng(0)
+    img = rng.random((24, 32, 3), dtype=np.float32)
+    ours = np.asarray(resize(jnp.asarray(img), (48, 64), method="cubic"))
+    ref = cv2.resize(img, (64, 48), interpolation=cv2.INTER_CUBIC)
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_resize_bicubic_matches_torch():
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from video_enhancer_tpu.ops import resize
+
+    rng = np.random.default_rng(1)
+    img = rng.random((20, 28, 3), dtype=np.float32)
+    ours = np.asarray(
+        resize(jnp.asarray(img), (45, 63), method="cubic", antialias=False)
+    )
+    t = torch.from_numpy(img).permute(2, 0, 1)[None]
+    ref = (
+        F.interpolate(t, size=(45, 63), mode="bicubic", align_corners=False)[0]
+        .permute(1, 2, 0)
+        .numpy()
+    )
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_resize_bilinear_matches_cv2():
+    import cv2
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import resize
+
+    rng = np.random.default_rng(2)
+    img = rng.random((16, 16, 3), dtype=np.float32)
+    ours = np.asarray(resize(jnp.asarray(img), (37, 41), method="linear"))
+    ref = cv2.resize(img, (41, 37), interpolation=cv2.INTER_LINEAR)
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_resize_area_downscale_matches_cv2():
+    import cv2
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import resize
+
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 64, 3), dtype=np.float32)
+    ours = np.asarray(resize(jnp.asarray(img), (16, 16), method="area"))
+    ref = cv2.resize(img, (16, 16), interpolation=cv2.INTER_AREA)
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_resize_batched_video():
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import resize_video
+
+    vid = jnp.ones((2, 4, 8, 8, 3))
+    out = resize_video(vid, (16, 16))
+    assert out.shape == (2, 4, 16, 16, 3)
+
+
+def test_pixel_shuffle_matches_torch():
+    import jax.numpy as jnp
+    import torch
+
+    from video_enhancer_tpu.ops import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.default_rng(4)
+    x = rng.random((2, 5, 6, 12), dtype=np.float32)  # C=12=3*2*2
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = torch.pixel_shuffle(t, 2).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours, ref)
+
+    back = np.asarray(pixel_unshuffle(jnp.asarray(ours), 2))
+    assert np.allclose(back, x)
+
+
+def test_conv2d_matches_torch():
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from video_enhancer_tpu.ops import conv2d
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 9, 11, 4), dtype=np.float32)
+    w = rng.standard_normal((3, 3, 4, 8), dtype=np.float32)
+    b = rng.standard_normal(8, dtype=np.float32)
+    ours = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    ref = (
+        F.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(w).permute(3, 2, 0, 1),
+            torch.from_numpy(b),
+            padding=1,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_conv3d_matches_torch():
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from video_enhancer_tpu.ops import conv3d
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 5, 6, 7, 3), dtype=np.float32)
+    w = rng.standard_normal((1, 3, 3, 3, 16), dtype=np.float32)
+    ours = np.asarray(conv3d(jnp.asarray(x), jnp.asarray(w)))
+    ref = (
+        F.conv3d(
+            torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+            torch.from_numpy(w).permute(4, 3, 0, 1, 2),
+            padding=(0, 1, 1),
+        )
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_flow_warp_identity_and_shift():
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import flow_warp
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((8, 8, 3), dtype=np.float32))
+    out = flow_warp(img, jnp.zeros((8, 8, 2)))
+    assert np.allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    # Integer shift by +1 row: out[y,x] = img[y+1,x]
+    flow = jnp.zeros((8, 8, 2)).at[..., 0].set(1.0)
+    out = np.asarray(flow_warp(img, flow))
+    assert np.allclose(out[:-1], np.asarray(img)[1:], atol=1e-6)
+
+
+def test_overlap_add_blend_uniform():
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import overlap_add_blend
+
+    # Two overlapping constant tiles must blend to the same constant.
+    tiles = jnp.ones((2, 8, 8, 3)) * 5.0
+    origins = jnp.asarray([[0, 0], [0, 4]])
+    out = overlap_add_blend(tiles, origins, (8, 12), overlap=4)
+    assert np.allclose(np.asarray(out), 5.0, atol=1e-5)

@@ -1,0 +1,75 @@
+"""Selective-scan implementations must agree with each other."""
+
+import numpy as np
+import pytest
+
+
+def _inputs(B=2, L=24, D=8, N=4, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 6)
+    x = jax.random.normal(ks[0], (B, L, D))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B, L, D)) * 0.5)
+    A = -jax.nn.softplus(jax.random.normal(ks[2], (D, N)))  # stable decay
+    Bmat = jax.random.normal(ks[3], (B, L, N)) * 0.5
+    C = jax.random.normal(ks[4], (B, L, N)) * 0.5
+    D_skip = jax.random.normal(ks[5], (D,))
+    return x, dt, A, Bmat, C, D_skip
+
+
+def test_assoc_matches_ref():
+    from video_enhancer_tpu.ops import selective_scan_assoc, selective_scan_ref
+
+    args = _inputs()
+    y_ref, h_ref = selective_scan_ref(*args)
+    y_as, h_as = selective_scan_assoc(*args)
+    assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_as))) < 1e-4
+    assert np.max(np.abs(np.asarray(h_ref) - np.asarray(h_as))) < 1e-4
+
+
+def test_pallas_matches_ref_interpret():
+    from video_enhancer_tpu.ops import selective_scan_pallas, selective_scan_ref
+
+    args = _inputs(B=2, L=32, D=8, N=4, seed=1)
+    y_ref, h_ref = selective_scan_ref(*args)
+    y_pl, h_pl = selective_scan_pallas(*args, interpret=True)
+    assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pl))) < 1e-4
+    assert np.max(np.abs(np.asarray(h_ref) - np.asarray(h_pl))) < 1e-4
+
+
+def test_pallas_non_pow2_length():
+    from video_enhancer_tpu.ops import selective_scan_pallas, selective_scan_ref
+
+    args = _inputs(B=1, L=37, D=8, N=4, seed=2)
+    y_ref, _ = selective_scan_ref(*args)
+    y_pl, _ = selective_scan_pallas(*args, interpret=True)
+    assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pl))) < 1e-4
+
+
+def test_initial_state_carry():
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import selective_scan_ref
+
+    x, dt, A, Bmat, C, D = _inputs(B=1, L=16, seed=3)
+    # Full scan == two half scans with state carried.
+    y_full, h_full = selective_scan_ref(x, dt, A, Bmat, C, D)
+    y1, h1 = selective_scan_ref(x[:, :8], dt[:, :8], A, Bmat[:, :8], C[:, :8], D)
+    y2, h2 = selective_scan_ref(
+        x[:, 8:], dt[:, 8:], A, Bmat[:, 8:], C[:, 8:], D, h0=h1
+    )
+    y_cat = jnp.concatenate([y1, y2], axis=1)
+    assert np.max(np.abs(np.asarray(y_full) - np.asarray(y_cat))) < 1e-4
+    assert np.max(np.abs(np.asarray(h_full) - np.asarray(h2))) < 1e-4
+
+
+def test_chunked_equals_full():
+    from video_enhancer_tpu.ops import chunked_selective_scan, selective_scan_ref
+
+    args = _inputs(B=2, L=40, seed=4)
+    y_full, h_full = selective_scan_ref(*args)
+    y_ch, h_ch = chunked_selective_scan(*args, chunk=16, impl="ref")
+    assert np.max(np.abs(np.asarray(y_full) - np.asarray(y_ch))) < 1e-4
+    assert np.max(np.abs(np.asarray(h_full) - np.asarray(h_ch))) < 1e-4

@@ -1,0 +1,157 @@
+"""Separable image resize as dense matmuls (MXU-friendly).
+
+The reference upscales/downscales with ``cv2.resize`` inside per-frame Python
+loops (reference app.py:359-385 bicubic fallback, basic_upscaler_fallback.py:42-169
+Lanczos/Cubic). On TPU a gather-based resize wastes the MXU; instead we build
+the 1-D interpolation operator as a dense ``(out, in)`` matrix at trace time
+(static shapes) and apply it separably:
+
+    out = W_h @ img @ W_w^T        (einsum over H then W)
+
+A 720p->1440p bicubic frame is then two large bf16 matmuls (~8 GFLOP) that XLA
+tiles straight onto the systolic array, fusing any elementwise epilogue.
+
+Semantics match OpenCV: half-pixel centers, border replicate, cubic a=-0.75
+(cv2.INTER_CUBIC == torch bicubic align_corners=False), Lanczos4 (8 taps),
+area averaging for integer downscale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize", "resize_video", "interp_matrix"]
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel (cv2/torch use a=-0.75)."""
+    x = np.abs(x)
+    x2, x3 = x * x, x * x * x
+    w = np.where(
+        x <= 1.0,
+        (a + 2.0) * x3 - (a + 3.0) * x2 + 1.0,
+        np.where(x < 2.0, a * x3 - 5.0 * a * x2 + 8.0 * a * x - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _linear_kernel(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.where(x < 1.0, 1.0 - x, 0.0)
+
+
+def _lanczos_kernel(x: np.ndarray, taps: int = 4) -> np.ndarray:
+    """Lanczos windowed sinc (cv2.INTER_LANCZOS4 -> taps=4, 8-point support)."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.sinc(x) * np.sinc(x / taps)
+    return np.where(np.abs(x) < taps, out, 0.0)
+
+
+_KERNELS = {
+    "cubic": (_cubic_kernel, 2),
+    "bicubic": (_cubic_kernel, 2),
+    "linear": (_linear_kernel, 1),
+    "bilinear": (_linear_kernel, 1),
+    "lanczos": (functools.partial(_lanczos_kernel, taps=4), 4),
+}
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix_np(
+    in_size: int, out_size: int, method: str, antialias: bool
+) -> np.ndarray:
+    """Build the (out_size, in_size) 1-D interpolation operator.
+
+    Half-pixel source mapping ``x = (i + 0.5) * scale - 0.5`` with replicate
+    borders; when downscaling with ``antialias`` the kernel support is widened
+    by the scale factor (matches cv2's INTER_AREA-ish behavior for area and
+    PIL/cv2 antialiased paths).
+    """
+    if method == "area":
+        # Box filter over the source span of each output pixel.
+        scale = in_size / out_size
+        w = np.zeros((out_size, in_size), dtype=np.float64)
+        for i in range(out_size):
+            lo, hi = i * scale, (i + 1) * scale
+            j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+            for j in range(j0, min(j1, in_size)):
+                cover = min(hi, j + 1) - max(lo, j)
+                if cover > 0:
+                    w[i, j] = cover
+        w /= w.sum(axis=1, keepdims=True)
+        return w.astype(np.float32)
+
+    kernel, support = _KERNELS[method]
+    scale = in_size / out_size
+    widen = max(scale, 1.0) if antialias else 1.0
+    eff_support = support * widen
+
+    i = np.arange(out_size, dtype=np.float64)
+    x = (i + 0.5) * scale - 0.5  # source coords, half-pixel centers
+    j0 = np.floor(x - eff_support).astype(np.int64) + 1
+    ntaps = int(np.ceil(2 * eff_support)) + 1
+    taps = j0[:, None] + np.arange(ntaps)[None, :]  # (out, ntaps)
+    dist = (x[:, None] - taps) / widen
+    wts = kernel(dist) / widen
+    # Replicate-border: clamp tap indices, weights fold onto edge samples.
+    taps_c = np.clip(taps, 0, in_size - 1)
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(w, (np.repeat(i.astype(np.int64), ntaps), taps_c.ravel()), wts.ravel())
+    w /= w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
+def interp_matrix(
+    in_size: int, out_size: int, method: str = "cubic", antialias: bool = True
+) -> jnp.ndarray:
+    """Public accessor for the 1-D resize operator (constant-folded under jit)."""
+    return jnp.asarray(_interp_matrix_np(in_size, out_size, method, antialias))
+
+
+def resize(
+    img: jnp.ndarray,
+    out_hw: tuple[int, int],
+    method: str = "cubic",
+    antialias: bool = True,
+) -> jnp.ndarray:
+    """Resize ``(..., H, W, C)`` images to ``out_hw`` with separable matmuls.
+
+    ``method``: cubic | linear | lanczos | area | nearest.
+    Output dtype follows input dtype; accumulation is float32.
+    """
+    h_in, w_in = img.shape[-3], img.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return img
+    if method == "nearest":
+        ridx = jnp.asarray(
+            np.clip(((np.arange(h_out) + 0.5) * h_in / h_out).astype(np.int64), 0, h_in - 1)
+        )
+        cidx = jnp.asarray(
+            np.clip(((np.arange(w_out) + 0.5) * w_in / w_out).astype(np.int64), 0, w_in - 1)
+        )
+        return img[..., ridx, :, :][..., :, cidx, :]
+
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+    wh = interp_matrix(h_in, h_out, method, antialias)
+    ww = interp_matrix(w_in, w_out, method, antialias)
+    x = jnp.einsum("oh,...hwc->...owc", wh, x, precision="highest")
+    x = jnp.einsum("ow,...hwc->...hoc", ww, x, precision="highest")
+    if jnp.issubdtype(dtype, jnp.integer):
+        info = jnp.iinfo(dtype)
+        x = jnp.clip(jnp.round(x), info.min, info.max)
+    return x.astype(dtype)
+
+
+def resize_video(
+    video: jnp.ndarray,
+    out_hw: tuple[int, int],
+    method: str = "cubic",
+    antialias: bool = True,
+) -> jnp.ndarray:
+    """Resize a ``(T, H, W, C)`` or ``(B, T, H, W, C)`` clip (batched matmuls)."""
+    return resize(video, out_hw, method=method, antialias=antialias)

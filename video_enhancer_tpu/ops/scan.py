@@ -1,0 +1,252 @@
+"""Selective scan (diagonal SSM) — the framework's hottest kernel.
+
+The reference computes its Mamba scan with a *sequential Python loop over the
+sequence* (reference models/backbones/mamba/ea_mamba_blocks.py:120-147), which
+is the single worst hot spot in its compute core. Here it is a first-class op
+with three interchangeable implementations:
+
+- ``selective_scan_ref``        lax.scan, sequential; numerics ground truth
+- ``selective_scan_assoc``      jax.lax.associative_scan (log-depth, parallel)
+- ``selective_scan_pallas``     fused Pallas kernel: generates decay terms,
+                                runs a Hillis scan per chunk in VMEM, applies
+                                the C-contraction — never materializing the
+                                (B, L, D, N) state tensor in HBM
+- ``selective_scan``            dispatcher (pallas on TPU, assoc elsewhere)
+
+Recurrence (per batch b, channel d, state n):
+
+    h_t = exp(dt_t * A) * h_{t-1} + dt_t * B_t * x_t
+    y_t = sum_n C_t[n] * h_t[n] + D[d] * x_t
+
+Shapes: x, dt ``(B, L, D)``; A ``(D, N)``; Bmat, C ``(B, L, N)``; D ``(D,)``.
+
+``chunked_selective_scan`` exposes the carried state so long clips can be
+processed in streaming chunks — and, across chips, the carry becomes the
+payload of a temporal-axis ``ppermute`` (the Mamba analog of ring attention;
+see parallel/temporal.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "selective_scan",
+    "selective_scan_ref",
+    "selective_scan_assoc",
+    "selective_scan_pallas",
+    "chunked_selective_scan",
+]
+
+
+def _decays(x, dt, A, Bmat):
+    """deltaA:(B,L,D,N) decay, deltaBx:(B,L,D,N) drive — fp32."""
+    x = x.astype(jnp.float32)
+    dt = dt.astype(jnp.float32)
+    A = A.astype(jnp.float32)
+    Bmat = Bmat.astype(jnp.float32)
+    deltaA = jnp.exp(dt[..., None] * A[None, None])  # (B,L,D,N)
+    deltaBx = dt[..., None] * Bmat[:, :, None, :] * x[..., None]
+    return deltaA, deltaBx
+
+
+def selective_scan_ref(x, dt, A, Bmat, C, D, h0=None):
+    """Sequential lax.scan ground truth. Returns (y, h_last)."""
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    deltaA, deltaBx = _decays(x, dt, A, Bmat)
+    Cf = C.astype(jnp.float32)
+
+    if h0 is None:
+        h0 = jnp.zeros((B, Dd, N), jnp.float32)
+
+    def step(h, inputs):
+        dA, dBx, c = inputs  # (B,D,N),(B,D,N),(B,N)
+        h = dA * h + dBx
+        y = jnp.einsum("bdn,bn->bd", h, c)
+        return h, y
+
+    xs = (
+        jnp.moveaxis(deltaA, 1, 0),
+        jnp.moveaxis(deltaBx, 1, 0),
+        jnp.moveaxis(Cf, 1, 0),
+    )
+    h_last, ys = jax.lax.scan(step, h0, xs)
+    y = jnp.moveaxis(ys, 0, 1) + x.astype(jnp.float32) * D.astype(jnp.float32)
+    return y.astype(x.dtype), h_last
+
+
+def selective_scan_assoc(x, dt, A, Bmat, C, D, h0=None):
+    """Parallel scan via jax.lax.associative_scan on (a, b) pairs."""
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    deltaA, deltaBx = _decays(x, dt, A, Bmat)
+
+    def combine(l, r):
+        a_l, b_l = l
+        a_r, b_r = r
+        return a_r * a_l, a_r * b_l + b_r
+
+    a_s, b_s = jax.lax.associative_scan(combine, (deltaA, deltaBx), axis=1)
+    if h0 is not None:
+        h = b_s + a_s * h0[:, None]
+    else:
+        h = b_s
+    y = jnp.einsum("bldn,bln->bld", h, C.astype(jnp.float32))
+    y = y + x.astype(jnp.float32) * D.astype(jnp.float32)
+    h_last = h[:, -1]
+    return y.astype(x.dtype), h_last
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(x_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
+                 y_ref, hlast_ref, *, L, N, DB, CHUNK):
+    """One (batch, channel-block) program.
+
+    Block layouts (leading 1 = the batch block; L chunked by fori_loop):
+      x_ref, dt_ref: (1, L, DB)   A_ref: (N, DB)   B_ref, C_ref: (1, L, N)
+      D_ref: (1, DB)              h0_ref, hlast_ref: (1, N, DB)
+      y_ref: (1, L, DB)
+    The running state h (N, DB) lives in VMEM via hlast_ref.
+    """
+    hlast_ref[0, :, :] = h0_ref[0, :, :]
+    num_chunks = L // CHUNK
+
+    # Position index along the chunk, shaped (CHUNK, 1, 1) for masking rolls.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
+
+    def body(ci, _):
+        s = ci * CHUNK
+        xc = x_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)   # (C, DB)
+        dtc = dt_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)  # (C, DB)
+        Bc = B_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)   # (C, N)
+        Cc = C_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)   # (C, N)
+        Af = A_ref[:, :].astype(jnp.float32)                    # (N, DB)
+
+        # (C, N, DB) decay and drive, generated in VMEM (never hits HBM).
+        a = jnp.exp(dtc[:, None, :] * Af[None])
+        b = dtc[:, None, :] * Bc[:, :, None] * xc[:, None, :]
+
+        # Hillis inclusive scan along the chunk axis.
+        shift = 1
+        while shift < CHUNK:
+            a_sh = pltpu.roll(a, shift, 0)
+            b_sh = pltpu.roll(b, shift, 0)
+            valid = pos >= shift
+            a_prev = jnp.where(valid, a_sh, 1.0)
+            b_prev = jnp.where(valid, b_sh, 0.0)
+            b = a * b_prev + b
+            a = a * a_prev
+            shift *= 2
+
+        # Fold in the carry from previous chunks.
+        h = b + a * hlast_ref[0, :, :][None]                     # (C, N, DB)
+        y = jnp.sum(h * Cc[:, :, None], axis=1)                  # (C, DB)
+        y = y + xc * D_ref[0, :].astype(jnp.float32)
+        y_ref[0, pl.ds(s, CHUNK), :] = y.astype(y_ref.dtype)
+        hlast_ref[0, :, :] = h[CHUNK - 1]
+        return ()
+
+    jax.lax.fori_loop(0, num_chunks, body, ())
+
+
+def _pick_chunk(L: int) -> int:
+    c = 1
+    while c * 2 <= min(L, 128):
+        c *= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _selective_scan_pallas_impl(x, dt, A, Bmat, C, D, h0, interpret=False):
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    DB = Dd  # channel block = full D (pad outside if huge)
+    CHUNK = _pick_chunk(L)
+    pad = (-L) % CHUNK
+    if pad:
+        # Pad with dt=0 -> decay=1, drive=0: state passes through unchanged.
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        Bmat = jnp.pad(Bmat, ((0, 0), (0, pad), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
+    Lp = L + pad
+
+    kernel = functools.partial(_scan_kernel, L=Lp, N=N, DB=DB, CHUNK=CHUNK)
+    y, hlast = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, DB), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DB), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Lp, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lp, DB), x.dtype),
+            jax.ShapeDtypeStruct((B, N, DB), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x, dt, A.swapaxes(0, 1), Bmat, C, D[None, :], h0.swapaxes(1, 2)
+    )
+    return y[:, :L], hlast.swapaxes(1, 2)
+
+
+def selective_scan_pallas(x, dt, A, Bmat, C, D, h0=None, interpret=None):
+    """Fused Pallas selective scan. Returns (y, h_last)."""
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((B, Dd, N), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _selective_scan_pallas_impl(x, dt, A, Bmat, C, D, h0, interpret=interpret)
+
+
+def selective_scan(x, dt, A, Bmat, C, D, h0=None, impl: str | None = None):
+    """Dispatching entry point. impl: ref | assoc | pallas | None(auto)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
+    fn = {
+        "ref": selective_scan_ref,
+        "assoc": selective_scan_assoc,
+        "pallas": selective_scan_pallas,
+    }[impl]
+    return fn(x, dt, A, Bmat, C, D, h0)
+
+
+def chunked_selective_scan(x, dt, A, Bmat, C, D, chunk: int, impl: str | None = None):
+    """Process a long sequence in chunks, threading the carried state.
+
+    Functionally identical to one full scan; exists so callers (and the
+    temporal-parallel path) can bound per-step memory. Mirrors the reference's
+    chunked processing with overlap (reference fast_mamba_vsr_handler.py:610-644)
+    but with *exact* state carry instead of overlap-and-blend approximation.
+    """
+    B, L, Dd = x.shape
+    h = jnp.zeros((B, Dd, N := A.shape[1]), jnp.float32)
+    ys = []
+    for s in range(0, L, chunk):
+        e = min(s + chunk, L)
+        y, h = selective_scan(
+            x[:, s:e], dt[:, s:e], A, Bmat[:, s:e], C[:, s:e], D, h0=h, impl=impl
+        )
+        ys.append(y)
+    return jnp.concatenate(ys, axis=1), h
