@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: CNN-2x upscale throughput, 720p -> 1440p, frames/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference's ZeroGPU path estimates ~0.5 s/frame
+(~2 fps) on an H200 slice (reference app.py:402-403); our north-star target is
+>=200 frames/sec/chip on this path (BASELINE.json).
+
+Device timing uses the two-N slope method (utils/timing.py) because the TPU
+tunnel in this environment adds ~2 s of host roundtrip per fetch, which would
+otherwise swamp the measurement.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from video_enhancer_tpu.utils.jaxenv import setup
+
+setup()
+
+import jax
+import jax.numpy as jnp
+
+from video_enhancer_tpu.models import upscaler
+from video_enhancer_tpu.utils.timing import device_time_per_call
+
+BASELINE_FPS = 2.0  # reference: ~0.5 s/frame on ZeroGPU H200 (app.py:402-403)
+
+
+def main():
+    batch, h, w = 8, 720, 1280
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=32, scale=2)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def fwd(x):
+        return upscaler.apply(params, x.astype(jnp.bfloat16), scale=2).astype(
+            jnp.float32
+        )
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3), jnp.float32)
+    sec_per_call = device_time_per_call(fwd, x, n_small=4, n_large=16)
+    fps = batch / sec_per_call
+    print(
+        json.dumps(
+            {
+                "metric": "cnn_upscaler_720p_to_1440p_throughput",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+                "detail": {
+                    "batch": batch,
+                    "ms_per_batch": round(sec_per_call * 1e3, 3),
+                    "backend": jax.default_backend(),
+                    "baseline_fps": BASELINE_FPS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

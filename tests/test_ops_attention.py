@@ -1,0 +1,64 @@
+"""Flash attention vs reference; reference vs torch."""
+
+import numpy as np
+
+
+def _qkv(B=2, H=3, Lq=96, Lk=96, Dh=32, seed=0):
+    import jax
+
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 3)
+    q = jax.random.normal(ks[0], (B, H, Lq, Dh))
+    kk = jax.random.normal(ks[1], (B, H, Lk, Dh))
+    v = jax.random.normal(ks[2], (B, H, Lk, Dh))
+    return q, kk, v
+
+
+def test_reference_matches_torch_sdpa():
+    import jax.numpy as jnp
+    import torch
+
+    from video_enhancer_tpu.ops.attention import attention_ref
+
+    q, k, v = _qkv(seed=1)
+    ours = np.asarray(attention_ref(q, k, v))
+    ref = (
+        torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(np.asarray(q)),
+            torch.from_numpy(np.asarray(k)),
+            torch.from_numpy(np.asarray(v)),
+        )
+        .numpy()
+    )
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_flash_matches_reference():
+    from video_enhancer_tpu.ops.attention import attention_ref, flash_attention
+
+    q, k, v = _qkv(B=1, H=2, Lq=160, Lk=224, Dh=32, seed=2)
+    ref = np.asarray(attention_ref(q, k, v))
+    ours = np.asarray(flash_attention(q, k, v, block_q=64, block_k=64, interpret=True))
+    assert np.max(np.abs(ours - ref)) < 2e-5
+
+
+def test_flash_ragged_lengths():
+    """Lq/Lk not multiples of block sizes exercises the padding/mask path."""
+    from video_enhancer_tpu.ops.attention import attention_ref, flash_attention
+
+    q, k, v = _qkv(B=1, H=1, Lq=37, Lk=53, Dh=16, seed=3)
+    ref = np.asarray(attention_ref(q, k, v))
+    ours = np.asarray(flash_attention(q, k, v, block_q=16, block_k=16, interpret=True))
+    assert np.max(np.abs(ours - ref)) < 2e-5
+
+
+def test_attention_with_bias():
+    import jax
+
+    from video_enhancer_tpu.ops.attention import attention, attention_ref
+
+    q, k, v = _qkv(B=1, H=2, Lq=16, Lk=16, seed=4)
+    bias = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 16, 16))
+    out = attention(q, k, v, bias=bias)
+    ref = attention_ref(q, k, v, bias=bias)
+    assert np.allclose(np.asarray(out), np.asarray(ref))

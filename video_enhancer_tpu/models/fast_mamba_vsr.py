@@ -1,0 +1,144 @@
+"""FastMambaVSR: efficient selective-scan video super-resolution.
+
+TPU-first redesign of the reference network (reference
+models/enhancement/vsr/fast_mamba_vsr_handler.py:110-270: separable-conv3d
+embed, multi-scale cross-fusion, 8 BiMamba layers with every-2nd 0.1-scaled
+skips, sub-pixel upsampler with 0.1-scaled temporal residual). Differences:
+
+- channels-last ``(B, T, H, W, C)``; all convs NDHWC on the MXU;
+- the SSM propagates along the *temporal* axis per spatial site (the natural
+  video recurrence), bidirectionally, with a depthwise spatial conv mixing
+  each frame — replacing the reference's ambiguous flattened-sequence scan;
+- GroupNorm instead of BatchNorm (no running stats; batch-size invariant);
+- bicubic base + zero-init residual head: the untrained network is exactly
+  bicubic x4 (graceful degradation, reference vsrm_handler.py:618-621 returns
+  original frames on failure).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..nn.ssm import bimamba_apply, bimamba_init
+from ..ops import pixel_shuffle, resize
+from ..ops.conv import conv3d
+
+__all__ = ["init", "apply", "default_config"]
+
+
+def default_config():
+    return {"dim": 48, "num_layers": 8, "scale": 4, "state_dim": 16,
+            "expand": 2, "groups": 8}
+
+
+def _sepconv3d_init(key, cin, cout, k=(1, 3, 3)):
+    """Depthwise + pointwise conv3d (reference SeparableConv3d,
+    fast_mamba_vsr_handler.py:136-165)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "dw": nn.conv3d_init(k1, *k, cin, cin, groups=cin),
+        "pw": nn.conv3d_init(k2, 1, 1, 1, cin, cout),
+    }
+
+
+def _sepconv3d_apply(p, x):
+    cin = x.shape[-1]
+    h = nn.conv3d_apply(p["dw"], x, groups=cin)
+    return nn.conv3d_apply(p["pw"], h)
+
+
+def init(key, dim: int = 48, num_layers: int = 8, scale: int = 4,
+         state_dim: int = 16, expand: int = 2, groups: int = 8):
+    ks = jax.random.split(key, num_layers + 8)
+    params = {
+        "embed1": _sepconv3d_init(ks[0], 3, dim),
+        "embed2": _sepconv3d_init(ks[1], dim, dim),
+        "ms_down2": _sepconv3d_init(ks[2], dim, dim),
+        "ms_down4": _sepconv3d_init(ks[3], dim, dim),
+        "ms_fuse": nn.conv3d_init(ks[4], 1, 1, 1, 3 * dim, dim),
+        "layers": [],
+        "refine": _sepconv3d_init(ks[5], dim, dim),
+        "head": nn.conv3d_init(ks[6], 1, 3, 3, dim, 3 * scale * scale,
+                               zero=True),
+        "temporal": nn.conv3d_init(ks[7], 3, 1, 1, 3, 3, zero=True),
+    }
+    for i in range(num_layers):
+        kl = jax.random.split(ks[8 + i], 3)
+        params["layers"].append({
+            "norm": nn.layer_norm_init(dim),
+            "bimamba": bimamba_init(kl[0], dim, state_dim=state_dim,
+                                    expand=expand),
+            "spatial_dw": nn.conv3d_init(kl[1], 1, 3, 3, dim, dim, groups=dim),
+            "spatial_pw": nn.conv3d_init(kl[2], 1, 1, 1, dim, dim),
+        })
+    meta = {"dim": dim, "num_layers": num_layers, "scale": scale,
+            "groups": groups}
+    return params, meta
+
+
+def _temporal_bimamba(p, x, impl=None):
+    """Apply bidirectional SSM along T for every spatial site.
+
+    (B, T, H, W, C) -> sequences (B*H*W, T, C) -> scan -> back.
+    """
+    b, t, h, w, c = x.shape
+    seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+    y = bimamba_apply(p, seq, impl=impl)
+    return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+
+def _multi_scale(params, feats):
+    """Cross-scale fusion (reference CrossScaleFusion,
+    fast_mamba_vsr_handler.py:167-213): pooled branches re-upsampled and fused."""
+    b, t, h, w, c = feats.shape
+    x2 = jax.lax.reduce_window(
+        feats, 0.0, jax.lax.add, (1, 1, 2, 2, 1), (1, 1, 2, 2, 1), "VALID"
+    ) / 4.0
+    x4 = jax.lax.reduce_window(
+        x2, 0.0, jax.lax.add, (1, 1, 2, 2, 1), (1, 1, 2, 2, 1), "VALID"
+    ) / 4.0
+    x2 = _sepconv3d_apply(params["ms_down2"], x2)
+    x4 = _sepconv3d_apply(params["ms_down4"], x4)
+    x2 = resize(x2, (h, w), method="linear")
+    x4 = resize(x4, (h, w), method="linear")
+    cat = jnp.concatenate([feats, x2, x4], axis=-1)
+    return nn.conv3d_apply(params["ms_fuse"], cat)
+
+
+def apply(params, clip: jnp.ndarray, scale: int = 4,
+          scan_impl: str | None = None) -> jnp.ndarray:
+    """(B, T, H, W, 3) in [0,1] -> (B, T, scale*H, scale*W, 3)."""
+    x = clip
+    feats = _sepconv3d_apply(params["embed1"], x)
+    feats = jax.nn.silu(feats)
+    feats = _sepconv3d_apply(params["embed2"], feats)
+
+    feats = feats + _multi_scale(params, feats)
+
+    skip = feats
+    for i, layer in enumerate(params["layers"]):
+        h = nn.layer_norm_apply(layer["norm"], feats)
+        h = _temporal_bimamba(layer["bimamba"], h, impl=scan_impl)
+        feats = feats + h
+        s = nn.conv3d_apply(layer["spatial_dw"], feats,
+                            groups=feats.shape[-1])
+        feats = feats + nn.conv3d_apply(layer["spatial_pw"], jax.nn.silu(s))
+        if i % 2 == 1:
+            # Every-2nd-layer skip, 0.1-scaled (reference
+            # fast_mamba_vsr_handler.py:110-126).
+            feats = feats + 0.1 * skip
+            skip = feats
+
+    feats = jax.nn.silu(_sepconv3d_apply(params["refine"], feats))
+    res = nn.conv3d_apply(params["head"], feats)  # (B,T,H,W,3*s*s)
+    res = pixel_shuffle(res, scale)
+
+    base = resize(x, (x.shape[2] * scale, x.shape[3] * scale),
+                  method="cubic", antialias=False)
+    out = base + res
+    # 0.1-scaled temporal residual (reference EfficientUpsampler,
+    # fast_mamba_vsr_handler.py:215-270).
+    out = out + 0.1 * nn.conv3d_apply(params["temporal"], out)
+    return jnp.clip(out, 0.0, 1.0)

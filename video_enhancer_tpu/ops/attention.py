@@ -1,0 +1,164 @@
+"""Attention: jnp reference + blockwise (flash) Pallas kernel.
+
+The reference computes full-matrix attention everywhere: (T*H*W)^2 self
+attention inside the diffusion UNet (reference diffusion_video_unet.py:92-126),
+DiT multi-head attention (reference video_transformer.py:36-76), and a
+*per-pixel Python loop* of temporal attention (reference
+ea_mamba_blocks.py:260-276). Here attention is one op:
+
+- ``attention_ref``     jnp einsum + softmax (fp32 logits), optional bias/mask
+- ``flash_attention``   Pallas online-softmax blockwise kernel; O(L) memory,
+                        never materializes the (Lq, Lk) score matrix in HBM
+- ``attention``         dispatcher (flash on TPU for long sequences)
+
+Layout: ``q (B, H, Lq, Dh)``, ``k/v (B, H, Lk, Dh)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attention", "attention_ref", "flash_attention"]
+
+
+def attention_ref(q, k, v, bias=None, scale: float | None = None):
+    """Reference attention. bias broadcastable to (B, H, Lq, Lk)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Flash kernel
+# ---------------------------------------------------------------------------
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale, n_k, block_k, lk_actual):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:, :] = jnp.full_like(m_scr[:, :], _NEG_INF)
+        l_scr[:, :] = jnp.zeros_like(l_scr[:, :])
+        acc_scr[:, :] = jnp.zeros_like(acc_scr[:, :])
+
+    q = q_ref[0].astype(jnp.float32)          # (BQ, Dh)
+    k = k_ref[0].astype(jnp.float32)          # (BK, Dh)
+    v = v_ref[0].astype(jnp.float32)          # (BK, Dh)
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+
+    # Mask out key padding (when Lk is not a multiple of block_k).
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < lk_actual, s, _NEG_INF)
+
+    m_prev = m_scr[:, :]                       # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                     # (BQ, BK)
+
+    l_new = l_scr[:, :] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:, :] = acc_scr[:, :] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_scr[:, :] = m_new
+    l_scr[:, :] = l_new
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:, :] / jnp.maximum(l_scr[:, :], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_impl(q, k, v, scale, block_q, block_k, interpret):
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    bh = B * H
+    qf = q.reshape(bh, Lq, Dh)
+    kf = k.reshape(bh, Lk, Dh)
+    vf = v.reshape(bh, Lk, Dh)
+
+    pad_q = (-Lq) % block_q
+    pad_k = (-Lk) % block_k
+    if pad_q:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+    Lqp, Lkp = Lq + pad_q, Lk + pad_k
+    n_q, n_k = Lqp // block_q, Lkp // block_k
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, n_k=n_k, block_k=block_k, lk_actual=Lk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, Lqp, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :Lq].reshape(B, H, Lq, Dh)
+
+
+def flash_attention(q, k, v, scale: float | None = None,
+                    block_q: int = 1024, block_k: int = 1024,
+                    interpret: bool | None = None):
+    """Blockwise attention, O(Lq*Dh) memory. No bias/causal (dense video)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def _clamp(block, length):
+        # Block must not exceed the (padded) sequence; keep sublane alignment.
+        return min(block, max(16, -(-length // 16) * 16))
+
+    block_q = _clamp(block_q, q.shape[2])
+    block_k = _clamp(block_k, k.shape[2])
+    return _flash_impl(q, k, v, float(scale), block_q, block_k, interpret)
+
+
+def attention(q, k, v, bias=None, scale: float | None = None):
+    """Dispatch: flash kernel on TPU when unbiased and long; else reference."""
+    long_seq = q.shape[2] >= 256 and k.shape[2] >= 256
+    if bias is None and long_seq and jax.default_backend() == "tpu":
+        return flash_attention(q, k, v, scale=scale)
+    return attention_ref(q, k, v, bias=bias, scale=scale)

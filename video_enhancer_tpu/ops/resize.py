@@ -136,11 +136,22 @@ def resize(
         return img[..., ridx, :, :][..., :, cidx, :]
 
     dtype = img.dtype
-    x = img.astype(jnp.float32)
     wh = interp_matrix(h_in, h_out, method, antialias)
     ww = interp_matrix(w_in, w_out, method, antialias)
-    x = jnp.einsum("oh,...hwc->...owc", wh, x, precision="highest")
-    x = jnp.einsum("ow,...hwc->...hoc", ww, x, precision="highest")
+    if dtype == jnp.bfloat16:
+        # Model compute path: ride the MXU at full bf16 rate (fp32 accum).
+        x = img
+        wh = wh.astype(jnp.bfloat16)
+        ww = ww.astype(jnp.bfloat16)
+        prec = None
+    else:
+        # Fidelity path (golden-output parity with cv2): exact fp32.
+        x = img.astype(jnp.float32)
+        prec = "highest"
+    x = jnp.einsum("oh,...hwc->...owc", wh, x, precision=prec,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("ow,...hwc->...hoc", ww, x, precision=prec,
+                   preferred_element_type=jnp.float32)
     if jnp.issubdtype(dtype, jnp.integer):
         info = jnp.iinfo(dtype)
         x = jnp.clip(jnp.round(x), info.min, info.max)

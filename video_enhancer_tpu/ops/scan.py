@@ -223,7 +223,13 @@ def selective_scan_pallas(x, dt, A, Bmat, C, D, h0=None, interpret=None):
 def selective_scan(x, dt, A, Bmat, C, D, h0=None, impl: str | None = None):
     """Dispatching entry point. impl: ref | assoc | pallas | None(auto)."""
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
+        L = x.shape[1]
+        if L <= 32:
+            # Short sequences (e.g. the temporal axis of a video chunk):
+            # a lax.scan of L big VPU steps beats kernel launch overhead.
+            impl = "ref"
+        else:
+            impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
     fn = {
         "ref": selective_scan_ref,
         "assoc": selective_scan_assoc,

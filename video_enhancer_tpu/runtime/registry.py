@@ -1,0 +1,193 @@
+"""Model/handler registry: build any enabled model's handler by name.
+
+Replaces the reference's per-handler construction scattered across
+``VideoEnhancementAgent.__init__`` (reference video_enhancer_sota.py:81-87)
+and the app (reference app.py:626-751). Handlers are cached singletons;
+weights load from the policy's resolved path when present, else random init
+(the reference behaves the same — SURVEY.md §5 "Random-weights reality").
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+import jax
+
+from ..config import Policy, default_policy
+
+__all__ = ["build_handler", "available_models", "clear_cache"]
+
+_cache: dict[str, Any] = {}
+_lock = threading.Lock()
+
+
+def available_models(policy: Policy | None = None) -> list[str]:
+    policy = policy or default_policy()
+    return policy.enabled_models()
+
+
+_MODEL_MODULES = {
+    "fast_mamba_vsr": "fast_mamba_vsr",
+    "vsrm": "vsrm",
+    "seedvr2": "seedvr2",
+    "ditvr": "ditvr",
+    "rvrt": "rvrt",
+    "realesrgan": "realesrgan",
+    "cnn_upscaler": "upscaler",
+    "bicubic": "upscaler",
+}
+
+
+def probe_available(policy: Policy | None = None) -> set[str]:
+    """Importable + policy-enabled models (reference availability probing,
+    degradation_router.py:72-108 does the same with torch imports)."""
+    import importlib
+
+    policy = policy or default_policy()
+    out = set()
+    for name in policy.enabled_models():
+        mod = _MODEL_MODULES.get(name)
+        if mod is None:
+            continue
+        try:
+            importlib.import_module(f"video_enhancer_tpu.models.{mod}")
+            out.add(name)
+        except ImportError:
+            pass
+    return out
+
+
+def clear_cache() -> None:
+    with _lock:
+        _cache.clear()
+
+
+def build_handler(name: str, policy: Policy | None = None, seed: int = 0):
+    policy = policy or default_policy()
+    with _lock:
+        if name in _cache:
+            return _cache[name]
+        handler = _build(name, policy, seed)
+        _cache[name] = handler
+        return handler
+
+
+def _load_or_init(name: str, entry, init_fn, **kw):
+    """Weight resolution chain: policy path -> random init (reference
+    vsrm_handler.py:260-410 chain, minus network downloads — no egress)."""
+    key = jax.random.PRNGKey(abs(hash(name)) % (2**31))
+    params, meta = init_fn(key, **kw)
+    if entry is not None and entry.weights_path:
+        from .weights import try_load_params
+
+        loaded = try_load_params(entry.weights_path, params)
+        if loaded is not None:
+            params = loaded
+            meta = dict(meta, weights="loaded")
+    return params, meta
+
+
+def _build(name: str, policy: Policy, seed: int):
+    from .vsr_handler import VSRHandler
+
+    entry = policy.models.get(name)
+
+    if name in ("cnn_upscaler", "bicubic"):
+        from .upscaler_handler import CnnUpscalerHandler
+
+        scale = entry.scale if entry else 2
+        return CnnUpscalerHandler(scale=scale, use_cnn=name == "cnn_upscaler",
+                                  seed=seed)
+
+    if name == "fast_mamba_vsr":
+        from ..models import fast_mamba_vsr as m
+
+        dim = int(entry.extra.get("dim", 48)) if entry else 48
+        layers = int(entry.extra.get("num_layers", 8)) if entry else 8
+        params, _ = _load_or_init(name, entry, m.init, dim=dim,
+                                  num_layers=layers, scale=entry.scale)
+        return VSRHandler(
+            name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
+            scale=entry.scale, chunk=entry.chunk, overlap=entry.overlap,
+            tile=entry.tile, tile_overlap=entry.tile_overlap,
+        )
+
+    if name == "vsrm":
+        from ..models import vsrm as m
+
+        dim = int(entry.extra.get("dim", 64)) if entry else 64
+        blocks = int(entry.extra.get("num_blocks", 6)) if entry else 6
+        params, _ = _load_or_init(name, entry, m.init, dim=dim,
+                                  num_blocks=blocks, scale=entry.scale)
+        return VSRHandler(
+            name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
+            scale=entry.scale, chunk=entry.window,
+            overlap=max(entry.window - entry.stride, 0),
+            tile=entry.tile, tile_overlap=entry.tile_overlap,
+        )
+
+    if name == "seedvr2":
+        from ..models import seedvr2 as m
+
+        base = int(entry.extra.get("base_channels", 32)) if entry else 32
+        params, _ = _load_or_init(name, entry, m.init, base_channels=base)
+        return VSRHandler(
+            name, lambda p, x: m.apply(p, x), params,
+            scale=1, chunk=entry.window,
+            overlap=max(entry.window - entry.stride, 0),
+            tile=entry.tile, tile_overlap=entry.tile_overlap,
+        )
+
+    if name == "ditvr":
+        from ..models import ditvr as m
+
+        cfg = dict(entry.extra) if entry else {}
+        params, _ = _load_or_init(
+            name, entry, m.init,
+            dim=int(cfg.get("dim", 384)), depth=int(cfg.get("depth", 8)),
+            heads=int(cfg.get("heads", 6)),
+        )
+        return VSRHandler(
+            name, lambda p, x: m.apply(p, x), params,
+            scale=1, chunk=entry.window,
+            overlap=max(entry.window - entry.stride, 0),
+            tile=entry.tile, tile_overlap=entry.tile_overlap,
+        )
+
+    if name == "rvrt":
+        from ..models import rvrt as m
+
+        dim = int(entry.extra.get("dim", 64)) if entry else 64
+        params, _ = _load_or_init(name, entry, m.init, dim=dim,
+                                  scale=entry.scale)
+        return VSRHandler(
+            name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
+            scale=entry.scale, chunk=entry.window,
+            overlap=max(entry.window - entry.stride, 0),
+            tile=entry.tile, tile_overlap=entry.tile_overlap,
+        )
+
+    if name == "realesrgan":
+        from ..models import realesrgan as m
+
+        cfg = dict(entry.extra) if entry else {}
+        params, _ = _load_or_init(
+            name, entry, m.init,
+            features=int(cfg.get("features", 64)),
+            num_blocks=int(cfg.get("num_blocks", 6)), scale=entry.scale,
+        )
+        # Per-frame model: wrap as T-batched clip fn.
+        def clip_apply(p, clip):
+            b, t = clip.shape[0], clip.shape[1]
+            frames = clip.reshape((b * t,) + clip.shape[2:])
+            out = m.apply(p, frames, scale=entry.scale)
+            return out.reshape((b, t) + out.shape[1:])
+
+        return VSRHandler(
+            name, clip_apply, params, scale=entry.scale,
+            chunk=4, overlap=0, tile=entry.tile,
+            tile_overlap=entry.tile_overlap,
+        )
+
+    raise KeyError(f"unknown model: {name}")

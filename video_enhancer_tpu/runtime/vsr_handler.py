@@ -1,0 +1,165 @@
+"""Generic VSR handler: temporal chunking + spatial tiling around any
+(B, T, H, W, 3) -> (B, T, sH, sW, 3) jitted model.
+
+Re-creates the shared shape of all four reference handlers (sliding windows
+reference vsrm_handler.py:511-547, chunking fast_mamba_vsr_handler.py:560-673,
+tiling vsrm_handler.py:623-664 / fast_mamba_vsr_handler.py:728-793) once,
+instead of four copies:
+
+- temporal chunks of ``chunk`` frames with ``overlap`` overlap; interior
+  overlap frames are taken from the later chunk (fresh temporal context);
+- spatial tiles with overlap-add ramp blending (ops/blend.py) when frames
+  exceed ``tile``;
+- all shapes static: tail chunks/tiles are padded (edge frames repeated,
+  reference ditvr_handler.py:797-801) so one compilation serves the video;
+- asynchronous dispatch with grouped host fetches (the TPU tunnel costs
+  ~2 s per fetch in this environment).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.pipeline import FramePipeline
+from ..io.video import VideoWriter, get_video_metadata
+from ..utils.perf import get_tracker
+
+__all__ = ["VSRHandler"]
+
+
+class VSRHandler:
+    """Wraps a jitted clip model with streaming video processing."""
+
+    def __init__(
+        self,
+        name: str,
+        apply_fn: Callable,          # (params, clip(B,T,H,W,3)) -> clip
+        params,
+        scale: int = 4,
+        chunk: int = 8,
+        overlap: int = 2,
+        tile: int = 512,
+        tile_overlap: int = 32,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.name = name
+        self.scale = scale
+        self.chunk = chunk
+        self.overlap = overlap
+        self.tile = tile
+        self.tile_overlap = tile_overlap
+        self.compute_dtype = compute_dtype
+        self.params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        self._fwd = jax.jit(
+            lambda p, x: apply_fn(p, x.astype(compute_dtype)).astype(jnp.float32)
+        )
+
+    # -- core clip processing ---------------------------------------------
+    def process_clip(self, clip: jnp.ndarray) -> jnp.ndarray:
+        """(T, H, W, 3) float32 -> (T, sH, sW, 3) float32, tiling if large."""
+        t, h, w, _ = clip.shape
+        if max(h, w) <= self.tile:
+            return self._fwd(self.params, clip[None])[0]
+        return self._tiled(clip)
+
+    def _tiled(self, clip: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.blend import overlap_add_blend
+
+        t, h, w, _ = clip.shape
+        ts, ov = self.tile, self.tile_overlap
+        step = ts - ov
+        ys = list(range(0, max(h - ov, 1), step))
+        xs = list(range(0, max(w - ov, 1), step))
+        # Clamp final tiles inside the frame (keeps tile shapes static).
+        ys = sorted({min(y, max(h - ts, 0)) for y in ys})
+        xs = sorted({min(x, max(w - ts, 0)) for x in xs})
+        tiles, origins = [], []
+        for y in ys:
+            for x in xs:
+                tiles.append(self._fwd(
+                    self.params, clip[None, :, y:y + ts, x:x + ts, :]
+                )[0])
+                origins.append((y * self.scale, x * self.scale))
+        s = self.scale
+        stacked = jnp.stack(tiles)                     # (N, T, sts, sts, 3)
+        per_frame = jnp.swapaxes(stacked, 0, 1)        # (T, N, sts, sts, 3)
+        blend = jax.vmap(
+            lambda ft: overlap_add_blend(
+                ft, jnp.asarray(origins), (h * s, w * s), ov * s
+            )
+        )
+        return blend(per_frame)
+
+    # -- video file processing --------------------------------------------
+    def enhance_video(self, input_path, output_path,
+                      fetch_group: int = 4, progress_cb=None) -> dict:
+        tracker = get_tracker()
+        op = tracker.start_operation("enhance_video", self.name,
+                                     input=str(input_path))
+        t0 = time.time()
+        try:
+            meta = get_video_metadata(input_path)
+            s = self.scale
+            out_hw = (meta.height * s, meta.width * s)
+            stride = self.chunk - self.overlap
+            pipe = FramePipeline(input_path, window=self.chunk, stride=stride)
+            frames_done = 0
+            pending: list[tuple] = []
+            with VideoWriter(output_path, out_hw, fps=meta.fps) as vw:
+
+                def drain():
+                    nonlocal frames_done
+                    if not pending:
+                        return
+                    arrays = jax.device_get([p[0] for p in pending])
+                    for arr, (_, start, valid) in zip(arrays, pending):
+                        # Skip overlap frames already written by the previous
+                        # chunk (fresh-context rule: later chunk wins tail).
+                        begin = self.overlap if start > 0 else 0
+                        end = min(valid, self.chunk)
+                        for i in range(begin, end):
+                            if start + i < meta.frame_count:
+                                f = np.clip(
+                                    np.round(arr[i] * 255.0), 0, 255
+                                ).astype(np.uint8)
+                                vw.write(f)
+                                frames_done += 1
+                    pending.clear()
+                    if progress_cb:
+                        progress_cb(frames_done, meta.frame_count)
+
+                for item in pipe:
+                    out = self.process_clip(item["frames"])
+                    pending.append((out, item["start"], item["valid"]))
+                    if len(pending) >= fetch_group:
+                        drain()
+                drain()
+            dt = time.time() - t0
+            stats = {
+                "status": "success",
+                "model": self.name,
+                "frames_processed": frames_done,
+                "processing_time_sec": dt,
+                "fps": frames_done / dt if dt > 0 else 0.0,
+                "input_resolution": [meta.height, meta.width],
+                "output_resolution": list(out_hw),
+                "scale": s,
+                "chunk": self.chunk,
+                "overlap": self.overlap,
+                "output_path": str(output_path),
+            }
+            tracker.update_operation(op, frames_done=frames_done)
+            tracker.finish_operation(op, success=True)
+            return stats
+        except Exception as e:
+            tracker.finish_operation(op, success=False, error=str(e))
+            raise
