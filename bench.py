@@ -33,13 +33,13 @@ BASELINE_FPS = 2.0  # reference: ~0.5 s/frame on ZeroGPU H200 (app.py:402-403)
 
 def main():
     batch, h, w = 8, 720, 1280
-    params, _ = upscaler.init(jax.random.PRNGKey(0), features=32, scale=2)
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=128, scale=2,
+                              s2d=4)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     def fwd(x):
-        return upscaler.apply(params, x.astype(jnp.bfloat16), scale=2).astype(
-            jnp.float32
-        )
+        return upscaler.apply(params, x.astype(jnp.bfloat16), scale=2,
+                              s2d=4).astype(jnp.float32)
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3), jnp.float32)
     sec_per_call = device_time_per_call(fwd, x, n_small=4, n_large=16)

@@ -1,0 +1,178 @@
+"""REST API tests: full job lifecycle over a real socket (mirrors reference
+process-endpoint coverage, process_endpoints.py:317-694)."""
+
+import io
+import json
+import time
+import urllib.request
+
+import pytest
+
+
+def _post_multipart(url, fields):
+    boundary = "testboundary123"
+    body = io.BytesIO()
+    for name, value in fields.items():
+        body.write(f"--{boundary}\r\n".encode())
+        if isinstance(value, tuple):
+            fname, data = value
+            body.write(
+                f'Content-Disposition: form-data; name="{name}"; '
+                f'filename="{fname}"\r\n'
+                f"Content-Type: video/mp4\r\n\r\n".encode()
+            )
+            body.write(data)
+            body.write(b"\r\n")
+        else:
+            body.write(
+                f'Content-Disposition: form-data; name="{name}"\r\n\r\n'
+                f"{value}\r\n".encode()
+            )
+    body.write(f"--{boundary}--\r\n".encode())
+    req = urllib.request.Request(
+        url, data=body.getvalue(),
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url, raw=False):
+    try:
+        with urllib.request.urlopen(url) as resp:
+            data = resp.read()
+            return resp.status, data if raw else json.loads(data)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def api(tmp_path_factory):
+    from video_enhancer_tpu.serving.app import ApiServer, create_app
+    from video_enhancer_tpu.serving.http import serve
+
+    data_dir = tmp_path_factory.mktemp("apidata")
+    server = ApiServer(data_dir=str(data_dir), worker_threads=1)
+    router = create_app(server)
+    httpd = serve(router, host="127.0.0.1", port=0, background=True)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def demo_bytes(tmp_path_factory):
+    from video_enhancer_tpu.io.demo import write_demo_video
+
+    path = tmp_path_factory.mktemp("v") / "demo.mp4"
+    write_demo_video(path, frames=8, size_hw=(48, 64))
+    return path.read_bytes()
+
+
+def test_root_and_health(api):
+    status, body = _get(api + "/")
+    assert status == 200
+    assert body["name"] == "video-enhancer-tpu"
+    status, body = _get(api + "/health")
+    assert status == 200
+    assert body["status"].startswith(("healthy", "degraded"))
+
+
+def test_strategies(api):
+    status, body = _get(api + "/api/v1/strategies")
+    assert status == 200
+    names = {s["name"] for s in body["strategies"]}
+    assert {"fast_mamba_vsr", "vsrm", "seedvr2", "ditvr"} <= names
+    assert set(body["latency_classes"]) == {"strict", "standard", "flexible"}
+
+
+def test_full_job_lifecycle(api, demo_bytes):
+    status, body = _post_multipart(
+        api + "/api/v1/process/auto",
+        {"file": ("demo.mp4", demo_bytes),
+         "vsr_strategy": "cnn_upscaler",
+         "latency_class": "standard"},
+    )
+    assert status == 202, body
+    job_id = body["job_id"]
+    assert body["status"] == "queued"
+
+    deadline = time.time() + 120
+    final = None
+    while time.time() < deadline:
+        status, job = _get(api + f"/api/v1/job/{job_id}")
+        assert status == 200
+        if job["status"] in ("completed", "failed"):
+            final = job
+            break
+        time.sleep(1)
+    assert final is not None, "job did not finish in time"
+    assert final["status"] == "completed", final.get("error")
+    assert final["result"]["frames_processed"] == 8
+
+    status, data = _get(api + f"/api/v1/job/{job_id}/download", raw=True)
+    assert status == 200
+    assert len(data) > 1000
+
+    status, body = _get(api + "/api/v1/jobs")
+    assert any(j["job_id"] == job_id for j in body["jobs"])
+
+    # metrics reflect the completed job
+    status, body = _get(api + "/metrics")
+    assert body["jobs"].get("completed", 0) >= 1
+
+
+def test_upload_validation(api):
+    status, body = _post_multipart(
+        api + "/api/v1/process/auto",
+        {"file": ("evil.exe", b"MZ" + b"\0" * 5000)},
+    )
+    assert status == 400
+    assert "unsupported file type" in body["error"]["message"]
+
+    status, body = _post_multipart(
+        api + "/api/v1/process/auto",
+        {"file": ("tiny.mp4", b"\x00\x00\x00 ftyp")},
+    )
+    assert status == 400
+    assert "too small" in body["error"]["message"]
+
+    status, body = _post_multipart(
+        api + "/api/v1/process/auto",
+        {"file": ("fake.mp4", b"A" * 5000)},
+    )
+    assert status == 400
+    assert "does not look like a video" in body["error"]["message"]
+
+
+def test_job_not_found_and_delete(api):
+    status, body = _get(api + "/api/v1/job/doesnotexist")
+    assert status == 404
+    status, body = _get(api + "/api/v1/job/doesnotexist/download")
+    assert status == 404
+
+
+def test_admin_key_flow(api):
+    # bootstrap first key without auth
+    req = urllib.request.Request(
+        api + "/api/v1/admin/keys",
+        data=json.dumps({"name": "root", "role": "admin"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        key = json.loads(resp.read())["api_key"]
+    assert key.startswith("vetpu_")
+
+    # further admin calls need the key
+    status, body = _get(api + "/api/v1/admin/keys")
+    assert status == 403
+    req = urllib.request.Request(api + "/api/v1/admin/keys",
+                                 headers={"X-API-Key": key})
+    with urllib.request.urlopen(req) as resp:
+        keys = json.loads(resp.read())["keys"]
+    assert any(k["name"] == "root" for k in keys)

@@ -1,0 +1,148 @@
+"""Model zoo forward tests: tiny shapes, CPU (mirrors reference
+tests/test_sota_models_comprehensive.py backbone-forward strategy)."""
+
+import numpy as np
+import pytest
+
+
+def _clip(shape=(1, 4, 16, 16, 3), seed=0):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.random.default_rng(seed).random(shape, np.float32))
+
+
+def test_fast_mamba_vsr_shapes_and_fallback():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import fast_mamba_vsr as m
+    from video_enhancer_tpu.ops import resize
+
+    params, _ = m.init(jax.random.PRNGKey(0), dim=16, num_layers=2)
+    x = _clip()
+    y = m.apply(params, x, scale=4)
+    assert y.shape == (1, 4, 64, 64, 3)
+    base = jnp.clip(resize(x, (64, 64), method="cubic", antialias=False), 0, 1)
+    assert float(jnp.max(jnp.abs(y - base))) < 1e-6  # zero-init head
+
+
+def test_vsrm_shapes():
+    import jax
+
+    from video_enhancer_tpu.models import vsrm as m
+
+    params, _ = m.init(jax.random.PRNGKey(0), dim=16, num_blocks=1)
+    y = m.apply(params, _clip((1, 3, 12, 12, 3)), scale=4)
+    assert y.shape == (1, 3, 48, 48, 3)
+
+
+def test_ditvr_shapes_conditioning_and_padding():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import ditvr as m
+
+    params, _ = m.init(jax.random.PRNGKey(0), dim=64, depth=2, heads=2)
+    x = _clip((1, 4, 16, 16, 3))
+    y0 = m.apply(params, x, degradation_type="unknown")
+    assert y0.shape == x.shape
+    # Untrained model is exactly identity (zero head).
+    assert float(jnp.max(jnp.abs(y0 - x))) < 1e-6
+    # With a live head, conditioning must change the output.
+    params["head"] = {
+        "w": jax.random.normal(jax.random.PRNGKey(9),
+                               params["head"]["w"].shape) * 0.02,
+        "b": params["head"]["b"],
+    }
+    y1 = m.apply(params, x, degradation_type="unknown")
+    y2 = m.apply(params, x, degradation_type="noise",
+                 degradation_scores=(0.9, 0.0, 0.0))
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 0
+    # Ragged sizes exercise pad/unpad.
+    y2 = m.apply(params, _clip((1, 3, 14, 13, 3), seed=1))
+    assert y2.shape == (1, 3, 14, 13, 3)
+
+
+def test_seedvr2_one_step_and_scheduler():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import seedvr2 as m
+    from video_enhancer_tpu.models.diffusion import make_schedule
+
+    params, _ = m.init(jax.random.PRNGKey(0), base_channels=8,
+                       channel_mult=(1, 2))
+    x = _clip((1, 2, 16, 16, 3))
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert bool(jnp.allclose(y, m.apply(params, x)))  # deterministic
+
+    sched = make_schedule(schedule="linear", num_timesteps=100)
+    clean = jnp.ones((1, 4))
+    noise = jnp.zeros((1, 4))
+    t = jnp.asarray([50])
+    noisy = sched.add_noise(clean, noise, t)
+    # recover x0 exactly from known eps
+    x0 = sched.pred_x0(noisy, noise, t)
+    assert float(jnp.max(jnp.abs(x0 - clean))) < 1e-5
+
+
+def test_scheduler_cosine_monotonic():
+    import numpy as np
+
+    from video_enhancer_tpu.models.diffusion import make_schedule
+
+    s = make_schedule(schedule="cosine", num_timesteps=50)
+    ac = np.asarray(s.alphas_cumprod)
+    assert ac[0] > ac[-1]
+    assert np.all(np.diff(ac) < 1e-9)
+
+
+def test_rvrt_shapes_with_ragged_input():
+    import jax
+
+    from video_enhancer_tpu.models import rvrt as m
+
+    params, _ = m.init(jax.random.PRNGKey(0), dim=16, depth=2, heads=2,
+                       window=(2, 4, 4), scale=2)
+    y = m.apply(params, _clip((1, 3, 10, 9, 3)), scale=2, heads=2,
+                window=(2, 4, 4))
+    assert y.shape == (1, 3, 20, 18, 3)
+
+
+def test_realesrgan_frame_sr():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import realesrgan as m
+
+    params, _ = m.init(jax.random.PRNGKey(0), features=16, num_blocks=1)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 12, 12, 3), np.float32))
+    y = m.apply(params, x, scale=4)
+    assert y.shape == (2, 48, 48, 3)
+
+
+def test_rife_interpolation_midpoint_and_video():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import rife as m
+
+    params, _ = m.init(jax.random.PRNGKey(0), dim=8, levels=2)
+    x = _clip((1, 3, 16, 16, 3))
+    out = m.apply(params, x)
+    assert out.shape == (1, 5, 16, 16, 3)
+    # Keyframes preserved exactly.
+    assert bool(jnp.allclose(out[:, 0::2], x))
+    # Identical frames -> zero-init flow/refine => midpoint == the frame.
+    same = jnp.tile(x[:, :1], (1, 2, 1, 1, 1))
+    mid = m.interpolate_pair(params, same[:, 0], same[:, 1])
+    assert float(jnp.max(jnp.abs(mid - x[:, 0]))) < 1e-5
+
+
+def test_registry_builds_all_models():
+    from video_enhancer_tpu.runtime.registry import probe_available
+
+    avail = probe_available()
+    assert {"fast_mamba_vsr", "vsrm", "seedvr2", "ditvr", "rvrt",
+            "realesrgan", "cnn_upscaler", "bicubic"} <= avail

@@ -1,0 +1,100 @@
+"""Face detection with graceful degradation.
+
+The reference chains MediaPipe -> face_recognition -> Haar -> MTCNN with
+first-hit priority (reference face_restoration_expert.py:490-577). None of
+those exist in this image (OpenCV 5 removed Haar cascades; no model
+downloads). Detector chain here:
+
+1. ``cv2.FaceDetectorYN`` if an ONNX model is provided via
+   ``FACE_DETECTOR_ONNX`` (the modern OpenCV detector);
+2. a self-contained skin-tone blob heuristic (YCrCb skin mask ->
+   connected components -> aspect/size filters) — crude but dependency-free.
+
+Returns boxes as ``(x, y, w, h)`` ints.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["detect_faces", "face_area_ratio"]
+
+_yn = None
+_yn_failed = False
+
+
+def _yn_detector(size_wh):
+    global _yn, _yn_failed
+    if _yn_failed:
+        return None
+    import cv2
+
+    model = os.environ.get("FACE_DETECTOR_ONNX")
+    if not model or not os.path.exists(model) or \
+            not hasattr(cv2, "FaceDetectorYN_create"):
+        _yn_failed = True
+        return None
+    try:
+        if _yn is None:
+            _yn = cv2.FaceDetectorYN_create(model, "", size_wh)
+        _yn.setInputSize(size_wh)
+        return _yn
+    except Exception:
+        _yn_failed = True
+        return None
+
+
+def _skin_blob_faces(frame: np.ndarray) -> list[tuple[int, int, int, int]]:
+    import cv2
+
+    h, w = frame.shape[:2]
+    ycrcb = cv2.cvtColor(frame, cv2.COLOR_RGB2YCrCb)
+    y, cr, cb = ycrcb[..., 0], ycrcb[..., 1], ycrcb[..., 2]
+    # Classic YCrCb skin window (Chai & Ngan).
+    mask = ((cr > 133) & (cr < 173) & (cb > 77) & (cb < 127) & (y > 40)
+            ).astype(np.uint8) * 255
+    mask = cv2.morphologyEx(
+        mask, cv2.MORPH_CLOSE, np.ones((5, 5), np.uint8), iterations=2
+    )
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(mask)
+    boxes = []
+    min_area = max((h * w) // 400, 36)
+    for i in range(1, n):
+        x, y0, bw, bh, area = stats[i]
+        if area < min_area:
+            continue
+        aspect = bw / max(bh, 1)
+        fill = area / max(bw * bh, 1)
+        if 0.4 <= aspect <= 1.6 and fill > 0.4:
+            boxes.append((int(x), int(y0), int(bw), int(bh)))
+    return boxes
+
+
+def detect_faces(frame: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Detect faces in an RGB uint8 frame; first-hit detector chain."""
+    h, w = frame.shape[:2]
+    det = _yn_detector((w, h))
+    if det is not None:
+        import cv2
+
+        try:
+            _, faces = det.detect(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            if faces is not None and len(faces):
+                return [tuple(int(v) for v in f[:4]) for f in faces]
+            return []
+        except Exception:
+            pass
+    return _skin_blob_faces(frame)
+
+
+def face_area_ratio(frames: np.ndarray, max_samples: int = 4) -> float:
+    """Mean face-area ratio over sampled frames (router's face prominence,
+    reference degradation_router.py:310-320)."""
+    step = max(len(frames) // max_samples, 1)
+    ratios = []
+    for f in frames[::step]:
+        area = sum(w * h for (_, _, w, h) in detect_faces(f))
+        ratios.append(area / (f.shape[0] * f.shape[1]))
+    return float(np.mean(ratios)) if ratios else 0.0

@@ -34,20 +34,9 @@ def _detect_faces_ratio(frames: np.ndarray) -> float:
     """Face prominence: mean face-area ratio over sampled frames
     (reference degradation_router.py:310-320)."""
     try:
-        import cv2
+        from .faces import face_area_ratio
 
-        cascade = cv2.CascadeClassifier(
-            cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
-        )
-        if cascade.empty():
-            return 0.0
-        ratios = []
-        for f in frames[:: max(len(frames) // 4, 1)]:
-            gray = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
-            faces = cascade.detectMultiScale(gray, 1.1, 4)
-            area = sum(w * h for (_, _, w, h) in faces)
-            ratios.append(area / (gray.shape[0] * gray.shape[1]))
-        return float(np.mean(ratios)) if ratios else 0.0
+        return face_area_ratio(frames)
     except Exception:
         return 0.0
 

@@ -1,0 +1,217 @@
+"""DiTVR: zero-shot video restoration diffusion-transformer.
+
+TPU-first redesign of the reference (reference
+models/enhancement/zeroshot/ditvr_handler.py:109-347 + backbone
+models/backbones/transformer/video_transformer.py): 3D patch embedding,
+degradation-conditioned AdaLN-Zero DiT blocks, a meta-adapter for zero-shot
+adaptation, linear head, unpatchify, residual to the input. Differences:
+
+- positional embedding is computed sinusoidally for the *actual* token grid
+  (the reference hardcodes 196 patches and breaks off-tile,
+  ditvr_handler.py:109-112);
+- the meta-adapter's per-patch Python loop (ditvr_handler.py:282-347) becomes
+  a batched gated low-rank adapter: gate = cosine similarity between each
+  patch's statistics and a learned prototype;
+- attention uses the shared attention op (flash kernel on TPU for long
+  token sequences).
+
+Size presets mirror the reference's SEEDVR2_MODELS table
+(ditvr_handler.py:372-387): 3b = dim 1536/depth 24/heads 24,
+7b = dim 2048/depth 32/heads 32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..nn.core import sinusoidal_embedding
+from ..ops.attention import attention
+
+__all__ = ["init", "apply", "default_config", "SIZE_PRESETS"]
+
+SIZE_PRESETS = {
+    "small": {"dim": 384, "depth": 8, "heads": 6},
+    "base": {"dim": 768, "depth": 12, "heads": 12},
+    "3b": {"dim": 1536, "depth": 24, "heads": 24},
+    "7b": {"dim": 2048, "depth": 32, "heads": 32},
+}
+
+DEG_TYPES = ("unknown", "noise", "blur", "compression")
+
+
+def default_config():
+    return {**SIZE_PRESETS["small"], "patch": (2, 4, 4), "adapt_layers": 3}
+
+
+def _block_init(key, dim, heads):
+    ks = jax.random.split(key, 5)
+    return {
+        "norm1": nn.layer_norm_init(dim),
+        "norm2": nn.layer_norm_init(dim),
+        # AdaLN modulation (shift/scale/gate x attn/mlp). Small init (not the
+        # DiT paper's zero-init) so degradation conditioning influences the
+        # zero-shot forward pass even before any fine-tuning.
+        "adaln": nn.dense_init(ks[0], dim, 6 * dim, scale=0.02),
+        "qkv": nn.dense_init(ks[1], dim, 3 * dim, bias=False),
+        "proj": nn.dense_init(ks[2], dim, dim),
+        "mlp": nn.mlp_init(ks[3], dim, 4 * dim),
+    }
+
+
+def init(key, dim: int = 384, depth: int = 8, heads: int = 6,
+         patch: tuple[int, int, int] = (2, 4, 4), adapt_layers: int = 3,
+         adapter_rank: int = 8):
+    pt, ph, pw = patch
+    in_dim = pt * ph * pw * 3
+    ks = jax.random.split(key, depth + adapt_layers + 6)
+    params = {
+        "patch_embed": nn.dense_init(ks[0], in_dim, dim),
+        "deg_type_embed": jax.random.normal(
+            ks[1], (len(DEG_TYPES), dim), jnp.float32) * 0.02,
+        "deg_mlp": nn.mlp_init(ks[2], 3, dim, dim),
+        "blocks": [_block_init(ks[3 + i], dim, heads) for i in range(depth)],
+        "adapters": [
+            {
+                "down": nn.dense_init(ks[3 + depth + i], dim, adapter_rank),
+                "up": nn.dense_init(ks[4 + depth + i], adapter_rank, dim,
+                                    scale=0.0),
+                "proto": jax.random.normal(
+                    jax.random.fold_in(ks[3 + depth + i], 7), (4,),
+                    jnp.float32),
+            }
+            for i in range(adapt_layers)
+        ],
+        "head_norm": nn.layer_norm_init(dim),
+        "head": nn.dense_init(ks[depth + adapt_layers + 5], dim, in_dim,
+                              scale=0.0),
+    }
+    meta = {"dim": dim, "depth": depth, "heads": heads, "patch": patch,
+            "adapt_layers": adapt_layers}
+    return params, meta
+
+
+def _patchify(clip, patch):
+    b, t, h, w, c = clip.shape
+    pt, ph, pw = patch
+    gt, gh, gw = t // pt, h // ph, w // pw
+    x = clip.reshape(b, gt, pt, gh, ph, gw, pw, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, gt * gh * gw, pt * ph * pw * c), (gt, gh, gw)
+
+
+def _unpatchify(tokens, grid, patch, c=3):
+    b, L, _ = tokens.shape
+    gt, gh, gw = grid
+    pt, ph, pw = patch
+    x = tokens.reshape(b, gt, gh, gw, pt, ph, pw, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, gt * pt, gh * ph, gw * pw, c)
+
+
+def _pos_embed(grid, dim, dtype):
+    gt, gh, gw = grid
+    dt_, dh, dw = dim // 4, dim // 4, dim - dim // 4 - dim // 4
+    et = sinusoidal_embedding(jnp.arange(gt), dt_)
+    eh = sinusoidal_embedding(jnp.arange(gh), dh)
+    ew = sinusoidal_embedding(jnp.arange(gw), dw)
+    e = jnp.concatenate(
+        [
+            jnp.broadcast_to(et[:, None, None, :], (gt, gh, gw, dt_)),
+            jnp.broadcast_to(eh[None, :, None, :], (gt, gh, gw, dh)),
+            jnp.broadcast_to(ew[None, None, :, :], (gt, gh, gw, dw)),
+        ],
+        axis=-1,
+    )
+    return e.reshape(1, gt * gh * gw, dim).astype(dtype)
+
+
+def _patch_stats(tokens):
+    """Per-patch (mean, std, min, max) -> similarity gate input."""
+    return jnp.stack(
+        [
+            jnp.mean(tokens, -1),
+            jnp.std(tokens, -1),
+            jnp.min(tokens, -1),
+            jnp.max(tokens, -1),
+        ],
+        axis=-1,
+    )  # (B, L, 4)
+
+
+def _adapter(p, x, stats):
+    """Gated low-rank adaptation (zero-shot meta-adapter)."""
+    proto = p["proto"].astype(jnp.float32)
+    s = stats.astype(jnp.float32)
+    sim = jnp.sum(s * proto, -1) / (
+        jnp.linalg.norm(s, axis=-1) * jnp.linalg.norm(proto) + 1e-6
+    )
+    gate = jax.nn.sigmoid(4.0 * sim)[..., None].astype(x.dtype)
+    return x + gate * nn.dense_apply(
+        p["up"], jax.nn.gelu(nn.dense_apply(p["down"], x))
+    )
+
+
+def _dit_block(blk, x, cond, heads):
+    b, L, c = x.shape
+    mod = nn.dense_apply(blk["adaln"], cond)  # (B, 6*dim)
+    sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod[:, None, :], 6, axis=-1)
+
+    h = nn.layer_norm_apply(blk["norm1"], x) * (1 + sc1) + sh1
+    qkv = nn.dense_apply(blk["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def mh(z):
+        return z.reshape(b, L, heads, c // heads).transpose(0, 2, 1, 3)
+
+    a = attention(mh(q), mh(k), mh(v))
+    a = a.transpose(0, 2, 1, 3).reshape(b, L, c)
+    x = x + g1 * nn.dense_apply(blk["proj"], a)
+
+    h = nn.layer_norm_apply(blk["norm2"], x) * (1 + sc2) + sh2
+    x = x + g2 * nn.mlp_apply(blk["mlp"], h)
+    return x
+
+
+def apply(params, clip: jnp.ndarray, degradation_type: str | int = "unknown",
+          degradation_scores=(0.0, 0.0, 0.0), heads: int | None = None,
+          patch: tuple[int, int, int] = (2, 4, 4),
+          auto_adapt: bool = True) -> jnp.ndarray:
+    """(B, T, H, W, 3) -> restored (B, T, H, W, 3); T,H,W padded to patch."""
+    b, t, h, w, c = clip.shape
+    pt, ph, pw = patch
+    dim = params["blocks"][0]["qkv"]["w"].shape[0]
+    heads = heads or max(dim // 64, 1)
+
+    pad_t, pad_h, pad_w = (-t) % pt, (-h) % ph, (-w) % pw
+    x = jnp.pad(clip, ((0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)),
+                mode="edge")
+
+    tokens, grid = _patchify(x, patch)
+    tok = nn.dense_apply(params["patch_embed"], tokens)
+    tok = tok + _pos_embed(grid, tok.shape[-1], tok.dtype)
+
+    if isinstance(degradation_type, str):
+        degradation_type = DEG_TYPES.index(degradation_type) \
+            if degradation_type in DEG_TYPES else 0
+    cond = params["deg_type_embed"][degradation_type][None].astype(tok.dtype)
+    cond = cond + nn.mlp_apply(
+        params["deg_mlp"], jnp.asarray(degradation_scores, tok.dtype)[None]
+    )
+    cond = jnp.broadcast_to(cond, (b, cond.shape[-1]))
+
+    stats = _patch_stats(tokens)
+    n_adapt = len(params["adapters"])
+    depth = len(params["blocks"])
+    for i, blk in enumerate(params["blocks"]):
+        tok = _dit_block(blk, tok, cond, heads)
+        ai = i - (depth - n_adapt)
+        if auto_adapt and ai >= 0:
+            tok = _adapter(params["adapters"][ai], tok, stats)
+
+    tok = nn.layer_norm_apply(params["head_norm"], tok)
+    res = nn.dense_apply(params["head"], tok)
+    out = x + _unpatchify(res, grid, patch, c)
+    out = out[:, :t, :h, :w, :]
+    return jnp.clip(out, 0.0, 1.0)

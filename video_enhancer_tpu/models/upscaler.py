@@ -16,34 +16,43 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..ops import pixel_shuffle, resize
+from ..ops import pixel_shuffle, pixel_unshuffle, resize
 
 __all__ = ["init", "apply", "bicubic_upscale", "UpscalerConfig"]
 
 
-def init(key, features: int = 32, scale: int = 2, depth: int = 3):
+def init(key, features: int = 128, scale: int = 2, depth: int = 3,
+         s2d: int = 4):
+    """``s2d``: space-to-depth factor. Convs run at 1/s2d resolution with
+    s2d^2-richer channels — same FLOPs, but channel counts that fill the
+    TPU's 128 lanes (C=3 / C=32 full-res convs measured only ~12 TFLOP/s)."""
     ks = jax.random.split(key, depth + 2)
+    cin = 3 * s2d * s2d
     params = {
-        "embed": nn.conv2d_init(ks[0], 3, 3, 3, features),
+        "embed": nn.conv2d_init(ks[0], 3, 3, cin, features),
         "blocks": [
             nn.conv2d_init(ks[i + 1], 3, 3, features, features)
             for i in range(depth)
         ],
         # Zero-init the residual head: an untrained model degrades gracefully
         # to exact bicubic instead of adding random-conv noise.
-        "head": nn.conv2d_init(ks[depth + 1], 3, 3, features, 3 * scale * scale,
-                               zero=True),
+        "head": nn.conv2d_init(ks[depth + 1], 3, 3, features,
+                               3 * (scale * s2d) ** 2, zero=True),
     }
-    meta = {"scale": scale, "features": features, "depth": depth}
+    meta = {"scale": scale, "features": features, "depth": depth, "s2d": s2d}
     return params, meta
 
 
-def apply(params, x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
-    """Enhance+upscale a batch of frames ``(B, H, W, 3)`` in [0,1]."""
-    h = jax.nn.relu(nn.conv2d_apply(params["embed"], x))
+def apply(params, x: jnp.ndarray, scale: int = 2, s2d: int = 4) -> jnp.ndarray:
+    """Enhance+upscale a batch of frames ``(B, H, W, 3)`` in [0,1].
+
+    H and W must be divisible by ``s2d`` (video resolutions are).
+    """
+    z = pixel_unshuffle(x, s2d)
+    h = jax.nn.relu(nn.conv2d_apply(params["embed"], z))
     for blk in params["blocks"]:
         h = h + jax.nn.relu(nn.conv2d_apply(blk, h))
-    res = pixel_shuffle(nn.conv2d_apply(params["head"], h), scale)
+    res = pixel_shuffle(nn.conv2d_apply(params["head"], h), scale * s2d)
     base = resize(x, (x.shape[-3] * scale, x.shape[-2] * scale), method="cubic",
                   antialias=False)
     return jnp.clip(base + res, 0.0, 1.0)

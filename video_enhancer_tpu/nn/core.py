@@ -41,8 +41,12 @@ def dense_init(key, din: int, dout: int, bias: bool = True, scale: float | None 
         w = jax.random.normal(kw, (din, dout), jnp.float32) * scale
     p = {"w": w}
     if bias:
-        bound = math.sqrt(1.0 / din)
-        p["b"] = jax.random.uniform(kb, (dout,), jnp.float32, -bound, bound)
+        if scale == 0.0:
+            # A zero-scaled layer is a true zero layer (identity residual).
+            p["b"] = jnp.zeros((dout,), jnp.float32)
+        else:
+            bound = math.sqrt(1.0 / din)
+            p["b"] = jax.random.uniform(kb, (dout,), jnp.float32, -bound, bound)
     return p
 
 

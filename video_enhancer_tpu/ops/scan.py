@@ -109,59 +109,59 @@ def selective_scan_assoc(x, dt, A, Bmat, C, D, h0=None):
 
 
 def _scan_kernel(x_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
-                 y_ref, hlast_ref, *, L, N, DB, CHUNK):
-    """One (batch, channel-block) program.
+                 y_ref, hlast_ref, state, *, N, CHUNK, n_l):
+    """One (batch, d-block, l-chunk) program; the l-chunk grid dimension is
+    sequential ("arbitrary") and carries the SSM state in VMEM scratch.
 
-    Block layouts (leading 1 = the batch block; L chunked by fori_loop):
-      x_ref, dt_ref: (1, L, DB)   A_ref: (N, DB)   B_ref, C_ref: (1, L, N)
-      D_ref: (1, DB)              h0_ref, hlast_ref: (1, N, DB)
-      y_ref: (1, L, DB)
-    The running state h (N, DB) lives in VMEM via hlast_ref.
+    Block layouts:
+      x_ref, dt_ref, y_ref: (1, CHUNK, DB)    A_ref: (N, DB)
+      B_ref, C_ref: (1, CHUNK, N)             D_ref: (1, DB)
+      h0_ref, hlast_ref: (1, N, DB)           state (scratch): (N, DB)
     """
-    hlast_ref[0, :, :] = h0_ref[0, :, :]
-    num_chunks = L // CHUNK
+    li = pl.program_id(2)
 
-    # Position index along the chunk, shaped (CHUNK, 1, 1) for masking rolls.
+    @pl.when(li == 0)
+    def _init():
+        state[:, :] = h0_ref[0, :, :]
+
+    xc = x_ref[0].astype(jnp.float32)        # (C, DB)
+    dtc = dt_ref[0].astype(jnp.float32)      # (C, DB)
+    Bc = B_ref[0].astype(jnp.float32)        # (C, N)
+    Cc = C_ref[0].astype(jnp.float32)        # (C, N)
+    Af = A_ref[:, :].astype(jnp.float32)     # (N, DB)
+
+    # (C, N, DB) decay and drive, generated in VMEM (never hit HBM).
+    a = jnp.exp(dtc[:, None, :] * Af[None])
+    b = dtc[:, None, :] * Bc[:, :, None] * xc[:, None, :]
+
+    # Hillis inclusive scan along the chunk axis.
     pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
+    shift = 1
+    while shift < CHUNK:
+        a_sh = pltpu.roll(a, shift, 0)
+        b_sh = pltpu.roll(b, shift, 0)
+        valid = pos >= shift
+        a_prev = jnp.where(valid, a_sh, 1.0)
+        b_prev = jnp.where(valid, b_sh, 0.0)
+        b = a * b_prev + b
+        a = a * a_prev
+        shift *= 2
 
-    def body(ci, _):
-        s = ci * CHUNK
-        xc = x_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)   # (C, DB)
-        dtc = dt_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)  # (C, DB)
-        Bc = B_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)   # (C, N)
-        Cc = C_ref[0, pl.ds(s, CHUNK), :].astype(jnp.float32)   # (C, N)
-        Af = A_ref[:, :].astype(jnp.float32)                    # (N, DB)
+    # Fold in the carry from previous chunks.
+    h = b + a * state[:, :][None]            # (C, N, DB)
+    y = jnp.sum(h * Cc[:, :, None], axis=1)  # (C, DB)
+    y = y + xc * D_ref[0, :].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+    state[:, :] = h[CHUNK - 1]
 
-        # (C, N, DB) decay and drive, generated in VMEM (never hits HBM).
-        a = jnp.exp(dtc[:, None, :] * Af[None])
-        b = dtc[:, None, :] * Bc[:, :, None] * xc[:, None, :]
-
-        # Hillis inclusive scan along the chunk axis.
-        shift = 1
-        while shift < CHUNK:
-            a_sh = pltpu.roll(a, shift, 0)
-            b_sh = pltpu.roll(b, shift, 0)
-            valid = pos >= shift
-            a_prev = jnp.where(valid, a_sh, 1.0)
-            b_prev = jnp.where(valid, b_sh, 0.0)
-            b = a * b_prev + b
-            a = a * a_prev
-            shift *= 2
-
-        # Fold in the carry from previous chunks.
-        h = b + a * hlast_ref[0, :, :][None]                     # (C, N, DB)
-        y = jnp.sum(h * Cc[:, :, None], axis=1)                  # (C, DB)
-        y = y + xc * D_ref[0, :].astype(jnp.float32)
-        y_ref[0, pl.ds(s, CHUNK), :] = y.astype(y_ref.dtype)
-        hlast_ref[0, :, :] = h[CHUNK - 1]
-        return ()
-
-    jax.lax.fori_loop(0, num_chunks, body, ())
+    @pl.when(li == n_l - 1)
+    def _final():
+        hlast_ref[0, :, :] = state[:, :]
 
 
 def _pick_chunk(L: int) -> int:
     c = 1
-    while c * 2 <= min(L, 128):
+    while c * 2 <= min(L, 256):
         c *= 2
     return c
 
@@ -170,43 +170,64 @@ def _pick_chunk(L: int) -> int:
 def _selective_scan_pallas_impl(x, dt, A, Bmat, C, D, h0, interpret=False):
     B, L, Dd = x.shape
     N = A.shape[1]
-    DB = Dd  # channel block = full D (pad outside if huge)
+    DB = min(Dd, 512)  # channel block
     CHUNK = _pick_chunk(L)
     pad = (-L) % CHUNK
+    pad_d = (-Dd) % DB
     if pad:
         # Pad with dt=0 -> decay=1, drive=0: state passes through unchanged.
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
         Bmat = jnp.pad(Bmat, ((0, 0), (0, pad), (0, 0)))
         C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
-    Lp = L + pad
+    if pad_d:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_d)))
+        dt = jnp.pad(dt, ((0, 0), (0, 0), (0, pad_d)))
+        A = jnp.pad(A, ((0, pad_d), (0, 0)))
+        D = jnp.pad(D, ((0, pad_d),))
+        h0 = jnp.pad(h0, ((0, 0), (0, pad_d), (0, 0)))
+    Lp, Dp = L + pad, Dd + pad_d
+    n_l, n_d = Lp // CHUNK, Dp // DB
 
-    kernel = functools.partial(_scan_kernel, L=Lp, N=N, DB=DB, CHUNK=CHUNK)
+    kernel = functools.partial(_scan_kernel, N=N, CHUNK=CHUNK, n_l=n_l)
     y, hlast = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, n_d, n_l),
         in_specs=[
-            pl.BlockSpec((1, Lp, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, DB), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DB), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, DB), lambda b, d, l: (b, l, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, DB), lambda b, d, l: (b, l, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, DB), lambda b, d, l: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, N), lambda b, d, l: (b, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, N), lambda b, d, l: (b, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DB), lambda b, d, l: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, DB), lambda b, d, l: (b, 0, d),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lp, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, DB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, DB), lambda b, d, l: (b, l, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, DB), lambda b, d, l: (b, 0, d),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Lp, DB), x.dtype),
-            jax.ShapeDtypeStruct((B, N, DB), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, Dp), x.dtype),
+            jax.ShapeDtypeStruct((B, N, Dp), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((N, DB), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(
         x, dt, A.swapaxes(0, 1), Bmat, C, D[None, :], h0.swapaxes(1, 2)
     )
-    return y[:, :L], hlast.swapaxes(1, 2)
+    return y[:, :L, :Dd], hlast.swapaxes(1, 2)[:, :Dd]
 
 
 def selective_scan_pallas(x, dt, A, Bmat, C, D, h0=None, interpret=None):

@@ -1,0 +1,95 @@
+"""Frame-interpolation handler (reference models/interpolation/
+rife_handler.py:334-451 + enhanced_rife_handler.py:220-321).
+
+Supports integer interpolation factors (2x = midpoints, 4x = recursive) and
+``target_fps``; falls back to cv2-style frame blending if the model fails
+(reference enhanced_rife_handler.py:187-193).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.video import VideoWriter, get_video_metadata, read_video
+from ..models import rife
+from ..utils.perf import track_enhancement_performance
+
+__all__ = ["RIFEHandler"]
+
+
+class RIFEHandler:
+    def __init__(self, dim: int = 32, levels: int = 3, seed: int = 0,
+                 compute_dtype=jnp.bfloat16):
+        self.params, self.meta = rife.init(jax.random.PRNGKey(seed), dim=dim,
+                                           levels=levels)
+        self.params = jax.tree.map(
+            lambda a: a.astype(compute_dtype), self.params
+        )
+        self.compute_dtype = compute_dtype
+        self._mid = jax.jit(
+            lambda p, a, b: rife.interpolate_pair(
+                p, a.astype(compute_dtype), b.astype(compute_dtype)
+            ).astype(jnp.float32)
+        )
+
+    def interpolate_pair(self, f0: np.ndarray, f1: np.ndarray) -> np.ndarray:
+        out = self._mid(self.params, jnp.asarray(f0)[None],
+                        jnp.asarray(f1)[None])
+        return np.asarray(out[0])
+
+    @track_enhancement_performance("rife")
+    def interpolate_video(self, input_path, output_path,
+                          interpolation_factor: int = 2,
+                          target_fps: float | None = None) -> dict:
+        t0 = time.time()
+        meta = get_video_metadata(input_path)
+        if target_fps:
+            interpolation_factor = max(
+                int(round(target_fps / max(meta.fps, 1.0))), 1
+            )
+        frames = read_video(input_path).astype(np.float32) / 255.0
+        levels = max(int(np.log2(max(interpolation_factor, 1))), 0)
+
+        clip = frames
+        for _ in range(levels):
+            clip = self._double(clip)
+
+        out_fps = meta.fps * (2 ** levels)
+        out_u8 = np.clip(np.round(clip * 255.0), 0, 255).astype(np.uint8)
+        with VideoWriter(output_path, clip.shape[1:3], fps=out_fps) as vw:
+            for f in out_u8:
+                vw.write(f)
+        dt = time.time() - t0
+        return {
+            "status": "success",
+            "model": "rife",
+            "frames_in": int(frames.shape[0]),
+            "frames_processed": int(clip.shape[0]),
+            "input_fps": meta.fps,
+            "output_fps": out_fps,
+            "interpolation_factor": 2 ** levels,
+            "processing_time_sec": dt,
+            "output_path": str(output_path),
+        }
+
+    def _double(self, clip: np.ndarray) -> np.ndarray:
+        t = clip.shape[0]
+        if t < 2:
+            return clip
+        try:
+            mids = []
+            for i in range(t - 1):
+                mids.append(self._mid(self.params, jnp.asarray(clip[i])[None],
+                                      jnp.asarray(clip[i + 1])[None])[0])
+            mids = np.asarray(jnp.stack(mids))
+        except Exception:
+            # Blend fallback (reference enhanced_rife_handler.py:187-193).
+            mids = 0.5 * clip[:-1] + 0.5 * clip[1:]
+        out = np.empty((2 * t - 1, *clip.shape[1:]), clip.dtype)
+        out[0::2] = clip
+        out[1::2] = mids
+        return out

@@ -26,8 +26,8 @@ __all__ = ["CnnUpscalerHandler"]
 
 
 class CnnUpscalerHandler:
-    def __init__(self, scale: int = 2, features: int = 32, depth: int = 3,
-                 seed: int = 0, use_cnn: bool = True,
+    def __init__(self, scale: int = 2, features: int = 128, depth: int = 3,
+                 s2d: int = 4, seed: int = 0, use_cnn: bool = True,
                  compute_dtype=jnp.bfloat16):
         self.scale = scale
         self.use_cnn = use_cnn
@@ -35,13 +35,14 @@ class CnnUpscalerHandler:
         if use_cnn:
             self.params, self.meta = upscaler.init(
                 jax.random.PRNGKey(seed), features=features, scale=scale,
-                depth=depth,
+                depth=depth, s2d=s2d,
             )
             self.params = jax.tree.map(
                 lambda a: a.astype(compute_dtype), self.params
             )
             self._fwd = jax.jit(
-                lambda p, x: upscaler.apply(p, x.astype(compute_dtype), scale=scale)
+                lambda p, x: upscaler.apply(p, x.astype(compute_dtype),
+                                            scale=scale, s2d=s2d)
                 .astype(jnp.float32)
             )
         else:

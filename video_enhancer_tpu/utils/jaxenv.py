@@ -20,7 +20,10 @@ def setup(cache_dir: str | None = None, platform: str | None = None) -> None:
         return
     import jax
 
+    platform = platform or os.environ.get("VETPU_PLATFORM")
     if platform:
+        # NOTE: JAX_PLATFORMS cannot override the preset 'axon' value in this
+        # environment; only this config update does.
         jax.config.update("jax_platforms", platform)
     cache = cache_dir or os.environ.get(
         "VETPU_JAX_CACHE", str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache")
