@@ -2,9 +2,10 @@
 
 Used by the driver's ``dryrun_multichip`` (and by CPU-mesh tests) to prove
 the dp/time/space shardings compile and execute without real chips. The
-flagship model here is the video form of the CNN upscaler (per-frame apply
-vmapped over T); FastMambaVSR replaces it as the flagship once its kernels
-land (tracked in SURVEY.md §7 step 5).
+flagship is FastMambaVSR: its training step runs with clips sharded
+B over ``data``, T over ``time``, H over ``space`` (XLA inserts the
+all-gathers for the temporal scan and the gradient psums from the sharding
+annotations alone).
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models import upscaler
+from ..models import fast_mamba_vsr as fmv
 from ..train.step import make_optimizer, make_train_step
 from .mesh import factor_devices, make_mesh
 
@@ -29,13 +30,12 @@ def run_dryrun(n_devices: int) -> None:
     mesh = make_mesh(data=data, time=time_, space=space)
     print(f"mesh: data={data} time={time_} space={space}")
 
-    params, _ = upscaler.init(jax.random.PRNGKey(0), features=8, depth=1, scale=2)
+    scale = 2
+    params, _ = fmv.init(jax.random.PRNGKey(0), dim=8, num_layers=2,
+                         scale=scale)
 
     def apply_clip(p, clip):
-        b, t = clip.shape[0], clip.shape[1]
-        frames = clip.reshape((b * t,) + clip.shape[2:])
-        out = upscaler.apply(p, frames, scale=2)
-        return out.reshape((b, t) + out.shape[1:])
+        return fmv.apply(p, clip, scale=scale, scan_impl="ref")
 
     optimizer = make_optimizer()
     init_state, train_step, shard_batch = make_train_step(
@@ -44,13 +44,15 @@ def run_dryrun(n_devices: int) -> None:
 
     with mesh:
         state = init_state(params)
-        # Tiny but shardable shapes: B, T, H divisible by their mesh axes.
-        b, t, h, w = data * 2, time_ * 2, space * 16, 16
+        # Tiny but shardable shapes: B, T, H divisible by their mesh axes
+        # (and by the model's s2d/pooling factors).
+        b, t, h, w = data * 2, time_ * 2, max(space, 2) * 16, 16
         lr = jnp.zeros((b, t, h, w, 3), jnp.float32)
-        hr = jnp.zeros((b, t, h * 2, w * 2, 3), jnp.float32)
+        hr = jnp.zeros((b, t, h * scale, w * scale, 3), jnp.float32)
         batch = shard_batch({"lr": lr, "hr": hr})
         state, metrics = train_step(state, batch)
         loss = float(metrics["loss"])
         step = int(state.step)
-    print(f"dryrun ok: devices={n_devices} step={step} loss={loss:.5f}")
+    print(f"dryrun ok: devices={n_devices} flagship=fast_mamba_vsr "
+          f"step={step} loss={loss:.5f}")
     assert step == 1

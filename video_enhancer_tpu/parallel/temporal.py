@@ -1,0 +1,125 @@
+"""Temporal context parallelism: shard the clip's T axis across chips.
+
+The reference scales sequence length (frame count) only by host-side
+chunking with overlap blending (reference fast_mamba_vsr_handler.py:610-644,
+vsrm_handler.py:511-547 — SURVEY.md §2.7). On a TPU mesh the T axis is
+sharded instead, with two primitives:
+
+- ``halo_exchange_time``: exchange ``halo`` boundary frames with neighbor
+  shards over ICI (ppermute) so temporal convolutions see valid context —
+  the distributed equivalent of overlap chunking, but exact;
+
+- ``temporal_parallel_scan``: a distributed *exact* selective scan. Each
+  shard scans locally from zero state, shards exchange (decay, state)
+  summaries (the total decay product is ``exp(A * sum dt)`` — O(D*N), tiny),
+  an exclusive prefix-combine yields each shard's incoming state, and a
+  second local scan applies it. 2x local compute, O(K * D * N) comms —
+  the Mamba analog of ring attention (SURVEY.md §5 long-context note).
+
+Both are written against a named mesh axis and used inside ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.scan import selective_scan
+
+__all__ = ["halo_exchange_time", "temporal_parallel_scan",
+           "make_temporal_scan"]
+
+
+def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str = "time"):
+    """Pad a T-sharded clip with ``halo`` frames from each neighbor.
+
+    x: local shard ``(B, T_loc, ...)``. Returns ``(B, T_loc + 2*halo, ...)``;
+    edge shards replicate their boundary frame (reference pads the same way,
+    ditvr_handler.py:797-801).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    right_block = x[:, -halo:]
+    left_block = x[:, :halo]
+    # Send my right block to my right neighbor (it becomes their left halo),
+    # and my left block to my left neighbor.
+    from_left = jax.lax.ppermute(
+        right_block, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    from_right = jax.lax.ppermute(
+        left_block, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    # Edge shards: replicate own boundary frames instead of wrapping.
+    edge_left = jnp.broadcast_to(x[:, :1], left_block.shape)
+    edge_right = jnp.broadcast_to(x[:, -1:], right_block.shape)
+    from_left = jnp.where(idx == 0, edge_left, from_left)
+    from_right = jnp.where(idx == n - 1, edge_right, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=1)
+
+
+def temporal_parallel_scan(x, dt, A, Bmat, C, D, axis_name: str = "time",
+                           impl: str | None = None):
+    """Exact distributed selective scan over a T-sharded sequence.
+
+    Args are local shards: x, dt ``(B, L_loc, D)``; Bmat, C ``(B, L_loc, N)``;
+    A ``(D, N)``, D ``(Dd,)`` replicated. Returns local y shard + global
+    final state.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # Pass 1: local scan from zero state. The zeros must be marked as
+    # device-varying (pvary) so lax.scan's carry typing matches inside
+    # shard_map.
+    B_, _, Dd = x.shape
+    N = A.shape[1]
+    h0 = jax.lax.pcast(jnp.zeros((B_, Dd, N), jnp.float32), (axis_name,),
+                       to="varying")
+    _, h_local = selective_scan(x, dt, A, Bmat, C, D, h0=h0, impl=impl)
+
+    # Shard summary: total decay a_tot = exp(A * sum_t dt) (B, D, N).
+    sum_dt = jnp.sum(dt.astype(jnp.float32), axis=1)          # (B, Dd)
+    a_tot = jnp.exp(sum_dt[..., None] * A.astype(jnp.float32)[None])  # (B,D,N)
+
+    # All-gather summaries and prefix-combine (K is tiny: the mesh axis).
+    a_all = jax.lax.all_gather(a_tot, axis_name)              # (K, B, D, N)
+    h_all = jax.lax.all_gather(h_local, axis_name)            # (K, B, D, N)
+
+    def combine(carry, pair):
+        a_k, h_k = pair
+        # state after shard k given incoming carry
+        return a_k * carry + h_k, carry
+
+    _, carries = jax.lax.scan(combine, jnp.zeros_like(h_local),
+                              (a_all, h_all))
+    # carries[k] = state entering shard k (exclusive prefix).
+    h_in = carries[idx]
+
+    # Pass 2: local scan with the true incoming state.
+    y, _ = selective_scan(x, dt, A, Bmat, C, D, h0=h_in, impl=impl)
+    return y
+
+
+def make_temporal_scan(mesh: Mesh, impl: str | None = None):
+    """Build a jitted T-sharded scan over ``mesh``'s ``time`` axis.
+
+    Returns ``fn(x, dt, A, Bmat, C, D) -> y`` where the sequence axis of
+    x/dt/Bmat/C is sharded over ``time`` and y comes back with the same
+    sharding.
+    """
+    from jax import shard_map
+
+    seq = P(None, "time", None)
+    rep = P()
+
+    fn = shard_map(
+        functools.partial(temporal_parallel_scan, axis_name="time",
+                          impl=impl),
+        mesh=mesh,
+        in_specs=(seq, seq, rep, seq, seq, rep),
+        out_specs=seq,
+    )
+    return jax.jit(fn)

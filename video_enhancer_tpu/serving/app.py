@@ -65,7 +65,12 @@ def _validate_upload(filename: str, data: bytes) -> str | None:
 
 class ApiServer:
     def __init__(self, data_dir: str = "data", policy=None,
-                 require_auth: bool = False, worker_threads: int = 1):
+                 require_auth: bool = False, worker_threads: int = 1,
+                 start_scheduler: bool = True):
+        from ..runtime.scheduler import BackgroundScheduler, setup_default_tasks
+        from ..runtime.storage import StorageManager
+        from ..utils.security import SecurityManager
+
         self.policy = policy or default_policy()
         self.data_dir = Path(data_dir)
         for sub in ("uploads", "outputs"):
@@ -73,6 +78,8 @@ class ApiServer:
         self.jobs = JobStore(self.data_dir / "jobs.sqlite")
         self.auth = AuthManager(self.data_dir / "api_keys.json",
                                 require_auth=require_auth)
+        self.security = SecurityManager()
+        self.storage = StorageManager(self.data_dir)
         self.router_agent = DegradationRouter(
             self.policy, available_models=probe_available(self.policy))
         self._enhancer = None
@@ -80,6 +87,12 @@ class ApiServer:
         self._queue: list[str] = []
         self._queue_cv = threading.Condition()
         self.started_at = time.time()
+        # Background maintenance (reference api/main.py:513-554 startup).
+        self.scheduler = BackgroundScheduler(poll_sec=30.0)
+        setup_default_tasks(self.scheduler, job_store=self.jobs,
+                            storage=self.storage)
+        if start_scheduler:
+            self.scheduler.start()
         for _ in range(worker_threads):
             threading.Thread(target=self._worker, daemon=True).start()
 
@@ -235,6 +248,24 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     def perf_stats(req):
         return Response(get_tracker().get_stats())
 
+    @r.get("/storage")
+    def storage_stats(req):
+        return Response({
+            "usage": srv.storage.get_usage(),
+            "scheduler": srv.scheduler.get_status(),
+        })
+
+    @r.get("/logs")
+    def logs_tail(req):
+        from ..utils.logging_config import get_ring_buffer
+
+        n = int(req.query.get("n", 100))
+        return Response({"lines": get_ring_buffer().tail(n)})
+
+    @r.get("/security/status")
+    def security_status(req):
+        return Response(srv.security.get_security_status())
+
     @r.get("/api/v1/strategies")
     def strategies(req):
         avail = sorted(probe_available(srv.policy))
@@ -270,6 +301,14 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
         if err:
             return Response({"error": {"code": "VAL_400", "message": err}},
                             400)
+        sec = srv.security.validate_and_secure_file(filename, data,
+                                                    client=req.client)
+        if not sec["ok"]:
+            return Response({"error": {
+                "code": "SEC_001",
+                "message": "upload rejected by security scan",
+                "threats": sec["threats"],
+            }}, 400)
 
         job_id = uuid.uuid4().hex
         in_path = srv.data_dir / "uploads" / f"{job_id}_{Path(filename).name}"

@@ -122,10 +122,12 @@ class Router:
                     return fn(req)
                 except Exception as e:
                     traceback.print_exc()
-                    return Response(
-                        {"error": {"code": "SYS_000",
-                                   "message": str(e)}}, status=500,
-                    )
+                    # Structured classification (reference api/main.py:178-285
+                    # ErrorCode -> HTTP mapping).
+                    from ..utils.errors import create_error_response
+
+                    body, status = create_error_response(e, context=req.path)
+                    return Response(body, status=status)
         return Response({"error": {"code": "API_404",
                                    "message": f"not found: {req.path}"}},
                         status=404)
