@@ -1,0 +1,181 @@
+"""Parity extras: deblur, size aliases, fallback manager, debug, training."""
+
+import numpy as np
+import pytest
+
+
+def test_deblur_modules_identity_untrained():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import deblur
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 3),
+                                                    np.float32))
+    p1 = deblur.bsstnet_init(jax.random.PRNGKey(0), dim=8)
+    assert float(jnp.max(jnp.abs(deblur.bsstnet_apply(p1, x) - x))) < 1e-6
+    p2 = deblur.vddiff_init(jax.random.PRNGKey(1), dim=8)
+    assert float(jnp.max(jnp.abs(deblur.vddiff_apply(p2, x) - x))) < 1e-6
+
+
+def test_seedvr2_size_presets():
+    from video_enhancer_tpu.models.ditvr import SIZE_PRESETS
+
+    assert SIZE_PRESETS["3b"] == {"dim": 1536, "depth": 24, "heads": 24}
+    assert SIZE_PRESETS["7b"] == {"dim": 2048, "depth": 32, "heads": 32}
+
+    from video_enhancer_tpu.models.seedvr2_sizes import make_seedvr2
+
+    params, meta, apply = make_seedvr2("small")
+    assert meta["preset"] == "small"
+    assert len(params["blocks"]) == meta["depth"]
+
+
+def test_fallback_manager_uses_hierarchy(monkeypatch):
+    from video_enhancer_tpu.runtime import fallback as fb
+
+    calls = []
+
+    def fake_build(name, policy=None):
+        calls.append(name)
+        if name in ("vsrm", "rvrt"):
+            raise RuntimeError(f"{name} broken")
+        return f"handler:{name}"
+
+    mgr = fb.ModelFallbackManager(build_timeout_sec=5)
+    monkeypatch.setattr(mgr, "_build_with_timeout", lambda n: fake_build(n))
+    handler, used = mgr.load_model_with_fallbacks("vsrm")
+    assert used == "fast_mamba_vsr"
+    assert calls == ["vsrm", "rvrt", "fast_mamba_vsr"]
+    hist = mgr.get_history()
+    assert [h["ok"] for h in hist] == [False, False, True]
+
+
+def test_timed_operation_and_context():
+    import logging
+
+    from video_enhancer_tpu.utils.debug import TimedOperation, debug_context
+
+    with TimedOperation("outer") as t:
+        with debug_context("inner"):
+            pass
+    assert t.elapsed >= 0
+
+
+def test_training_step_reduces_loss():
+    """A few steps on a fixed batch must reduce the loss (real learning)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import upscaler
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+    from video_enhancer_tpu.train.step import make_optimizer, make_train_step
+
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=16, depth=1,
+                              s2d=2, scale=2)
+
+    def apply_clip(p, clip):
+        b, t = clip.shape[0], clip.shape[1]
+        frames = clip.reshape((b * t,) + clip.shape[2:])
+        out = upscaler.apply(p, frames, scale=2, s2d=2)
+        return out.reshape((b, t) + out.shape[1:])
+
+    mesh = make_mesh()
+    init_state, train_step, shard_batch = make_train_step(
+        apply_clip, make_optimizer(lr=1e-3), mesh
+    )
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((2, 2, 32, 32, 3), np.float32))
+    lr = jnp.asarray(
+        np.stack([[np.asarray(hr)[b, t][::2, ::2] for t in range(2)]
+                  for b in range(2)])
+    )
+    with mesh:
+        state = init_state(params)
+        losses = []
+        batch = shard_batch({"lr": lr, "hr": hr})
+        for _ in range(8):
+            state, m = train_step(state, batch)
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_synthetic_data_pipeline():
+    from video_enhancer_tpu.io.demo import make_demo_frames
+    from video_enhancer_tpu.train.data import make_pairs
+
+    frames = make_demo_frames(8, (64, 64))
+    batch = make_pairs(frames, batch=2, clip_len=3, crop=32, scale=2, seed=0)
+    assert batch["hr"].shape == (2, 3, 32, 32, 3)
+    assert batch["lr"].shape == (2, 3, 16, 16, 3)
+    assert 0.0 <= batch["lr"].min() and batch["lr"].max() <= 1.0
+    # degradation actually degrades
+    import cv2
+
+    up = np.stack([
+        cv2.resize(batch["lr"][0, t], (32, 32), interpolation=cv2.INTER_CUBIC)
+        for t in range(3)
+    ])
+    assert np.abs(up - batch["hr"][0]).mean() > 0.005
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import upscaler
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+    from video_enhancer_tpu.train.checkpoint import (
+        export_params, restore_checkpoint, save_checkpoint,
+    )
+    from video_enhancer_tpu.train.step import make_optimizer, make_train_step
+
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=8, depth=1,
+                              s2d=2)
+
+    def apply_clip(p, clip):
+        b, t = clip.shape[0], clip.shape[1]
+        f = clip.reshape((b * t,) + clip.shape[2:])
+        out = upscaler.apply(p, f, scale=2, s2d=2)
+        return out.reshape((b, t) + out.shape[1:])
+
+    mesh = make_mesh()
+    init_state, train_step, shard_batch = make_train_step(
+        apply_clip, make_optimizer(), mesh
+    )
+    with mesh:
+        state = init_state(params)
+        batch = shard_batch({
+            "lr": jnp.ones((1, 2, 8, 8, 3)),
+            "hr": jnp.ones((1, 2, 16, 16, 3)),
+        })
+        state, _ = train_step(state, batch)
+        step = save_checkpoint(tmp_path / "ck", state)
+        assert step == 1
+
+        fresh = init_state(params)
+        restored = restore_checkpoint(tmp_path / "ck", fresh)
+        assert restored is not None
+        assert int(restored.step) == 1
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+        path = export_params(tmp_path / "w.npz", state)
+        from video_enhancer_tpu.runtime.weights import try_load_params
+
+        loaded = try_load_params(path, params)
+        assert loaded is not None
+
+
+def test_production_config_env(monkeypatch):
+    from video_enhancer_tpu.config.production import ProductionConfig
+
+    monkeypatch.setenv("VETPU_PORT", "9999")
+    monkeypatch.setenv("VETPU_REQUIRE_AUTH", "true")
+    cfg = ProductionConfig.from_env()
+    assert cfg.port == 9999
+    assert cfg.require_auth is True
+    assert cfg.validate() == []
+    bad = ProductionConfig(port=99999)
+    assert bad.validate()

@@ -97,8 +97,17 @@ def _build(name: str, policy: Policy, seed: int):
         from .upscaler_handler import CnnUpscalerHandler
 
         scale = entry.scale if entry else 2
+        weights = entry.weights_path if entry else None
+        if weights is None and name == "cnn_upscaler":
+            # Bundled trained weights, if present.
+            import pathlib
+
+            bundled = (pathlib.Path(__file__).resolve().parents[1]
+                       / "weights" / "cnn_upscaler_2x.npz")
+            if bundled.exists():
+                weights = str(bundled)
         return CnnUpscalerHandler(scale=scale, use_cnn=name == "cnn_upscaler",
-                                  seed=seed)
+                                  seed=seed, weights_path=weights)
 
     if name == "fast_mamba_vsr":
         from ..models import fast_mamba_vsr as m

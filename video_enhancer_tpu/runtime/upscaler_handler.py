@@ -28,6 +28,7 @@ __all__ = ["CnnUpscalerHandler"]
 class CnnUpscalerHandler:
     def __init__(self, scale: int = 2, features: int = 128, depth: int = 3,
                  s2d: int = 4, seed: int = 0, use_cnn: bool = True,
+                 weights_path: str | None = None,
                  compute_dtype=jnp.bfloat16):
         self.scale = scale
         self.use_cnn = use_cnn
@@ -37,6 +38,13 @@ class CnnUpscalerHandler:
                 jax.random.PRNGKey(seed), features=features, scale=scale,
                 depth=depth, s2d=s2d,
             )
+            if weights_path:
+                from .weights import try_load_params
+
+                loaded = try_load_params(weights_path, self.params)
+                if loaded is not None:
+                    self.params = loaded
+                    self.meta = dict(self.meta, weights="loaded")
             self.params = jax.tree.map(
                 lambda a: a.astype(compute_dtype), self.params
             )

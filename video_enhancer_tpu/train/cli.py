@@ -1,0 +1,133 @@
+"""Training CLI.
+
+``python -m video_enhancer_tpu.train.cli --model cnn_upscaler --steps 200``
+
+Trains a model on synthetic degradation pairs over a named mesh, with orbax
+checkpointing (resume with the same --ckpt-dir) and a final npz export that
+the inference registry loads via the policy's weight chain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_model(name: str, scale: int):
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    if name == "cnn_upscaler":
+        from ..models import upscaler
+
+        params, meta = upscaler.init(key, features=128, scale=scale, s2d=4)
+
+        def apply_clip(p, clip):
+            b, t = clip.shape[0], clip.shape[1]
+            frames = clip.reshape((b * t,) + clip.shape[2:])
+            out = upscaler.apply(p, frames, scale=scale, s2d=4)
+            return out.reshape((b, t) + out.shape[1:])
+
+        return params, apply_clip
+    if name == "fast_mamba_vsr":
+        from ..models import fast_mamba_vsr as m
+
+        params, meta = m.init(key, dim=32, num_layers=4, scale=scale)
+        return params, lambda p, c: m.apply(p, c, scale=scale,
+                                            scan_impl="ref")
+    if name == "vsrm":
+        from ..models import vsrm as m
+
+        params, meta = m.init(key, dim=32, num_blocks=2, scale=scale)
+        return params, lambda p, c: m.apply(p, c, scale=scale)
+    raise SystemExit(f"unsupported trainable model: {name}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="cnn_upscaler",
+                   choices=["cnn_upscaler", "fast_mamba_vsr", "vsrm"])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--clip-len", type=int, default=4)
+    p.add_argument("--crop", type=int, default=128)
+    p.add_argument("--scale", type=int, default=2)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--source", default=None,
+                   help="video file for training frames (default: synthetic)")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--export", default=None, help="final npz weights path")
+    p.add_argument("--mesh-data", type=int, default=1)
+    p.add_argument("--mesh-time", type=int, default=1)
+    p.add_argument("--mesh-space", type=int, default=1)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    from ..utils.jaxenv import setup
+
+    setup(platform=args.platform)
+
+    import jax
+    import numpy as np
+
+    from ..parallel.mesh import make_mesh
+    from .checkpoint import export_params, restore_checkpoint, save_checkpoint
+    from .data import pair_iterator
+    from .step import TrainState, make_optimizer, make_train_step
+
+    if args.source:
+        from ..io.video import read_video
+
+        frames = read_video(args.source)
+    else:
+        from ..io.demo import make_demo_frames
+
+        frames = make_demo_frames(64, (args.crop * 2, args.crop * 2))
+
+    params, apply_clip = build_model(args.model, args.scale)
+    optimizer = make_optimizer(lr=args.lr)
+    mesh = make_mesh(args.mesh_data, args.mesh_time, args.mesh_space)
+    init_state, train_step, shard_batch = make_train_step(
+        apply_clip, optimizer, mesh
+    )
+
+    it = pair_iterator(frames, args.batch, args.clip_len, args.crop,
+                       args.scale)
+    with mesh:
+        state = init_state(params)
+        if args.ckpt_dir:
+            restored = restore_checkpoint(args.ckpt_dir, state)
+            if restored is not None:
+                state = restored
+                print(f"resumed from step {int(state.step)}")
+        t0 = time.time()
+        losses = []
+        start = int(state.step)
+        for i in range(start, args.steps):
+            batch = shard_batch(next(it))
+            state, metrics = train_step(state, batch)
+            losses.append(float(metrics["loss"]))
+            if (i + 1) % args.log_every == 0:
+                avg = sum(losses[-args.log_every:]) / min(
+                    len(losses), args.log_every)
+                print(json.dumps({
+                    "step": i + 1, "loss": round(avg, 5),
+                    "sec_per_step": round((time.time() - t0) /
+                                          max(i + 1 - start, 1), 3),
+                }))
+        if args.ckpt_dir:
+            step = save_checkpoint(args.ckpt_dir, state)
+            print(f"checkpoint saved at step {step}")
+        if args.export:
+            path = export_params(args.export, state)
+            print(f"weights exported to {path}")
+    if losses:
+        print(json.dumps({"final_loss": round(losses[-1], 5),
+                          "first_loss": round(losses[0], 5)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
