@@ -29,7 +29,10 @@ __all__ = ["init", "apply", "default_config"]
 
 
 def default_config():
-    return {"dim": 48, "num_layers": 8, "scale": 4, "state_dim": 16,
+    # state_dim 8 (not the Mamba-default 16): the scan batch is per-pixel
+    # (B*H*W), so SSM state HBM traffic scales as N -- and temporal windows
+    # are short (8-16 frames), where N=8 loses nothing measurable.
+    return {"dim": 48, "num_layers": 8, "scale": 4, "state_dim": 8,
             "expand": 2, "groups": 8}
 
 
@@ -50,7 +53,7 @@ def _sepconv3d_apply(p, x):
 
 
 def init(key, dim: int = 48, num_layers: int = 8, scale: int = 4,
-         state_dim: int = 16, expand: int = 2, groups: int = 8):
+         state_dim: int = 8, expand: int = 2, groups: int = 8):
     ks = jax.random.split(key, num_layers + 8)
     params = {
         "embed1": _sepconv3d_init(ks[0], 3, dim),

@@ -45,7 +45,9 @@ def _block_init(key, dim, state_dim, heads):
         "temporal_norm": nn.layer_norm_init(dim),
         "qkv": nn.dense_init(ks[1], dim, 3 * dim, bias=False),
         "attn_out": nn.dense_init(ks[2], dim, dim),
-        "temporal_ssm": bimamba_init(ks[3], dim, state_dim=state_dim),
+        # Temporal scans run at per-pixel batch; N=8 keeps state HBM traffic
+        # half of the spatial scan's (which keeps the full state_dim).
+        "temporal_ssm": bimamba_init(ks[3], dim, state_dim=min(state_dim, 8)),
         "mlp_norm": nn.layer_norm_init(dim),
         "mlp": nn.mlp_init(ks[4], dim, dim * 2),
     }

@@ -56,25 +56,34 @@ def _decays(x, dt, A, Bmat):
 
 
 def selective_scan_ref(x, dt, A, Bmat, C, D, h0=None):
-    """Sequential lax.scan ground truth. Returns (y, h_last)."""
+    """Sequential lax.scan ground truth. Returns (y, h_last).
+
+    Memory-lean: decay/drive terms are generated *per step inside the scan
+    body* — materializing the full (B, L, D, N) tensors costs gigabytes of
+    HBM traffic when the batch is per-pixel (B = B*H*W in the video models).
+    """
     B, L, Dd = x.shape
     N = A.shape[1]
-    deltaA, deltaBx = _decays(x, dt, A, Bmat)
-    Cf = C.astype(jnp.float32)
+    Af = A.astype(jnp.float32)
 
     if h0 is None:
         h0 = jnp.zeros((B, Dd, N), jnp.float32)
 
     def step(h, inputs):
-        dA, dBx, c = inputs  # (B,D,N),(B,D,N),(B,N)
+        x_t, dt_t, b_t, c_t = inputs  # (B,D),(B,D),(B,N),(B,N)
+        dtf = dt_t.astype(jnp.float32)
+        dA = jnp.exp(dtf[..., None] * Af[None])              # (B,D,N)
+        dBx = dtf[..., None] * b_t.astype(jnp.float32)[:, None, :] \
+            * x_t.astype(jnp.float32)[..., None]
         h = dA * h + dBx
-        y = jnp.einsum("bdn,bn->bd", h, c)
+        y = jnp.einsum("bdn,bn->bd", h, c_t.astype(jnp.float32))
         return h, y
 
     xs = (
-        jnp.moveaxis(deltaA, 1, 0),
-        jnp.moveaxis(deltaBx, 1, 0),
-        jnp.moveaxis(Cf, 1, 0),
+        jnp.moveaxis(x, 1, 0),
+        jnp.moveaxis(dt, 1, 0),
+        jnp.moveaxis(Bmat, 1, 0),
+        jnp.moveaxis(C, 1, 0),
     )
     h_last, ys = jax.lax.scan(step, h0, xs)
     y = jnp.moveaxis(ys, 0, 1) + x.astype(jnp.float32) * D.astype(jnp.float32)

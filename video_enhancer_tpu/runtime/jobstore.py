@@ -111,6 +111,21 @@ class JobStore:
             ).fetchall()
             return {r["status"]: r["n"] for r in rows}
 
+    def count_since(self, age_sec: float, client: str | None = None) -> int:
+        """Jobs created in the window (per-client quota accounting)."""
+        cutoff = time.time() - age_sec
+        with self._conn() as c:
+            if client is None:
+                row = c.execute(
+                    "SELECT COUNT(*) AS n FROM jobs WHERE created_at >= ?",
+                    (cutoff,)).fetchone()
+            else:
+                row = c.execute(
+                    "SELECT COUNT(*) AS n FROM jobs WHERE created_at >= ? "
+                    "AND json_extract(record, '$.client') = ?",
+                    (cutoff, client)).fetchone()
+            return int(row["n"])
+
     def cleanup_older_than(self, age_sec: float) -> int:
         cutoff = time.time() - age_sec
         with self._lock, self._conn() as c:

@@ -68,6 +68,8 @@ def run_auto_pipeline(
         # -- primary model ------------------------------------------------
         try:
             handler = build_handler(primary, policy)
+            if hasattr(handler, "update_context") and handler.context:
+                _apply_degradation_context(handler, plan)
             stats = handler.enhance_video(work_input, output_path)
         except Exception as e:
             log.warning("primary model %s failed (%s); bicubic fallback",
@@ -113,6 +115,21 @@ def run_auto_pipeline(
     finally:
         for f in tmp_files:
             Path(f).unlink(missing_ok=True)
+
+
+def _apply_degradation_context(handler, plan: dict) -> None:
+    """Feed the router's degradation estimate into conditioned models
+    (DiTVR's zero-shot conditioning; reference ditvr_handler.py:718-788)."""
+    deg = plan.get("degradations", {})
+    scores = [float(deg.get("noise", 0.0)),
+              float(deg.get("motion_blur", 0.0)),
+              float(deg.get("compression", 0.0))]
+    # DEG_TYPES = (unknown, noise, blur, compression)
+    dtype_idx = 0
+    if max(scores) > 0.3:
+        dtype_idx = 1 + int(max(range(3), key=lambda i: scores[i]))
+    handler.update_context(degradation_scores=scores,
+                           degradation_type=dtype_idx)
 
 
 def _preprocess_video(input_path: str, experts: dict,

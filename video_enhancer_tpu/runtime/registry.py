@@ -149,19 +149,33 @@ def _build(name: str, policy: Policy, seed: int):
         )
 
     if name == "ditvr":
+        import jax.numpy as jnp
+
         from ..models import ditvr as m
 
         cfg = dict(entry.extra) if entry else {}
+        heads = int(cfg.get("heads", 6))
         params, _ = _load_or_init(
             name, entry, m.init,
             dim=int(cfg.get("dim", 384)), depth=int(cfg.get("depth", 8)),
-            heads=int(cfg.get("heads", 6)),
+            heads=heads,
         )
+        # Degradation conditioning arrives from the router per video
+        # (reference ditvr estimates it per clip, ditvr_handler.py:718-788).
         return VSRHandler(
-            name, lambda p, x: m.apply(p, x), params,
+            name,
+            lambda p, x, degradation_scores, degradation_type: m.apply(
+                p, x, degradation_type=degradation_type,
+                degradation_scores=degradation_scores, heads=heads,
+            ),
+            params,
             scale=1, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
             tile=entry.tile, tile_overlap=entry.tile_overlap,
+            context={
+                "degradation_scores": jnp.zeros((3,), jnp.float32),
+                "degradation_type": jnp.zeros((), jnp.int32),
+            },
         )
 
     if name == "rvrt":

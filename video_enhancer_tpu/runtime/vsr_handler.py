@@ -38,7 +38,7 @@ class VSRHandler:
     def __init__(
         self,
         name: str,
-        apply_fn: Callable,          # (params, clip(B,T,H,W,3)) -> clip
+        apply_fn: Callable,          # (params, clip(B,T,H,W,3), **ctx) -> clip
         params,
         scale: int = 4,
         chunk: int = 8,
@@ -46,6 +46,7 @@ class VSRHandler:
         tile: int = 512,
         tile_overlap: int = 32,
         compute_dtype=jnp.bfloat16,
+        context: dict | None = None,
     ):
         self.name = name
         self.scale = scale
@@ -59,16 +60,27 @@ class VSRHandler:
             if jnp.issubdtype(a.dtype, jnp.floating) else a,
             params,
         )
+        # Context: per-video conditioning (e.g. DiTVR's degradation scores)
+        # passed as traced arrays so updates don't trigger recompiles.
+        self.context = {k: jnp.asarray(v) for k, v in (context or {}).items()}
         self._fwd = jax.jit(
-            lambda p, x: apply_fn(p, x.astype(compute_dtype)).astype(jnp.float32)
+            lambda p, x, ctx: apply_fn(p, x.astype(compute_dtype), **ctx)
+            .astype(jnp.float32)
         )
+
+    def update_context(self, **kw) -> None:
+        for k, v in kw.items():
+            if k in self.context:
+                self.context[k] = jnp.asarray(
+                    v, self.context[k].dtype
+                ).reshape(self.context[k].shape)
 
     # -- core clip processing ---------------------------------------------
     def process_clip(self, clip: jnp.ndarray) -> jnp.ndarray:
         """(T, H, W, 3) float32 -> (T, sH, sW, 3) float32, tiling if large."""
         t, h, w, _ = clip.shape
         if max(h, w) <= self.tile:
-            return self._fwd(self.params, clip[None])[0]
+            return self._fwd(self.params, clip[None], self.context)[0]
         return self._tiled(clip)
 
     def _tiled(self, clip: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +98,8 @@ class VSRHandler:
         for y in ys:
             for x in xs:
                 tiles.append(self._fwd(
-                    self.params, clip[None, :, y:y + ts, x:x + ts, :]
+                    self.params, clip[None, :, y:y + ts, x:x + ts, :],
+                    self.context,
                 )[0])
                 origins.append((y * self.scale, x * self.scale))
         s = self.scale

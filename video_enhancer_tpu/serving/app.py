@@ -266,6 +266,18 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     def security_status(req):
         return Response(srv.security.get_security_status())
 
+    @r.get("/api/v1/agent/status")
+    def agent_status(req):
+        """(reference process_endpoints.py /agent/status)."""
+        if srv._enhancer is None:
+            return Response({"agent": "not yet initialized",
+                             "available_models":
+                             sorted(probe_available(srv.policy))})
+        status = srv.enhancer.get_status()
+        status["model_usage"] = srv.enhancer.model_usage
+        status["available_models"] = sorted(srv.enhancer.available)
+        return Response(status)
+
     @r.get("/api/v1/strategies")
     def strategies(req):
         avail = sorted(probe_available(srv.policy))
@@ -310,6 +322,18 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
                 "threats": sec["threats"],
             }}, 400)
 
+        # Daily quota per client (reference user-quota gating,
+        # app.py:1124-1172; keyed on API key name or client IP here).
+        quota_key = getattr(req, "user", {}).get("name", req.client)
+        daily_quota = int(getattr(req, "user", {}).get("daily_quota", 200))
+        used = srv.jobs.count_since(24 * 3600, client=quota_key)
+        if used >= daily_quota:
+            return Response({"error": {
+                "code": "SEC_429",
+                "message": f"daily quota exceeded ({used}/{daily_quota} "
+                           "jobs in 24h)",
+            }}, 429)
+
         job_id = uuid.uuid4().hex
         in_path = srv.data_dir / "uploads" / f"{job_id}_{Path(filename).name}"
         out_path = srv.data_dir / "outputs" / f"enhanced_{job_id}.mp4"
@@ -324,6 +348,7 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
 
         record = {
             "status": JobStatus.QUEUED,
+            "client": quota_key,
             "filename": filename,
             "input_path": str(in_path),
             "output_path": str(out_path),
@@ -418,7 +443,8 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
         body = req.json()
         key = srv.auth.create_key(body.get("name", "unnamed"),
                                   body.get("role", "user"),
-                                  int(body.get("rate_limit", 60)))
+                                  int(body.get("rate_limit", 60)),
+                                  int(body.get("daily_quota", 200)))
         return Response({"api_key": key}, status=201)
 
     @r.get("/api/v1/admin/keys")

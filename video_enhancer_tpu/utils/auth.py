@@ -71,7 +71,7 @@ class AuthManager:
 
     # -- key CRUD (reference admin_endpoints.py surface) --------------------
     def create_key(self, name: str, role: str = "user",
-                   rate_limit: int = 60) -> str:
+                   rate_limit: int = 60, daily_quota: int = 200) -> str:
         if role not in ROLES:
             raise ValueError(f"invalid role {role}")
         key = "vetpu_" + secrets.token_urlsafe(32)
@@ -79,8 +79,8 @@ class AuthManager:
         with self._lock:
             self._keys[self._hash(key, salt)] = {
                 "name": name, "role": role, "salt": salt,
-                "rate_limit": rate_limit, "created_at": time.time(),
-                "enabled": True, "uses": 0,
+                "rate_limit": rate_limit, "daily_quota": daily_quota,
+                "created_at": time.time(), "enabled": True, "uses": 0,
             }
             # store salt-indexed: we must be able to find records by key
             self._save()
