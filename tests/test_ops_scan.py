@@ -73,3 +73,32 @@ def test_chunked_equals_full():
     y_ch, h_ch = chunked_selective_scan(*args, chunk=16, impl="ref")
     assert np.max(np.abs(np.asarray(y_full) - np.asarray(y_ch))) < 1e-4
     assert np.max(np.abs(np.asarray(h_full) - np.asarray(h_ch))) < 1e-4
+
+
+def test_pallas_short_matches_ref():
+    from video_enhancer_tpu.ops.scan import (
+        selective_scan_pallas_short, selective_scan_ref,
+    )
+
+    # huge-B short-L shape (the video temporal scan), non-multiple of block
+    args = _inputs(B=300, L=8, D=16, N=4, seed=5)
+    y_ref, h_ref = selective_scan_ref(*args)
+    y_pl, h_pl = selective_scan_pallas_short(*args, interpret=True)
+    assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pl))) < 1e-4
+    assert np.max(np.abs(np.asarray(h_ref) - np.asarray(h_pl))) < 1e-4
+
+
+def test_pallas_short_with_initial_state():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops.scan import (
+        selective_scan_pallas_short, selective_scan_ref,
+    )
+
+    args = _inputs(B=64, L=6, D=8, N=4, seed=6)
+    h0 = jax.random.normal(jax.random.PRNGKey(9), (64, 8, 4))
+    y_ref, h_ref = selective_scan_ref(*args, h0=h0)
+    y_pl, h_pl = selective_scan_pallas_short(*args, h0=h0, interpret=True)
+    assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pl))) < 1e-4
+    assert np.max(np.abs(np.asarray(h_ref) - np.asarray(h_pl))) < 1e-4

@@ -73,3 +73,124 @@ def test_temporal_parallel_scan_exact(cpu_mesh_devices):
         y = scan(args[0], args[1], A, args[2], args[3], D)
     err = float(jnp.max(jnp.abs(np.asarray(y) - np.asarray(y_ref))))
     assert err < 1e-4, err
+
+
+def test_sharded_clip_inference_upscaler_exact(cpu_mesh_devices):
+    """Per-frame model: time-sharded inference must be bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import upscaler
+    from video_enhancer_tpu.parallel.inference import make_sharded_clip_fn
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=8, depth=1,
+                              s2d=2, scale=2)
+
+    def apply_clip(p, clip):
+        b, t = clip.shape[0], clip.shape[1]
+        frames = clip.reshape((b * t,) + clip.shape[2:])
+        out = upscaler.apply(p, frames, scale=2, s2d=2)
+        return out.reshape((b, t) + out.shape[1:])
+
+    mesh = make_mesh(data=2, time=4)
+    fn = make_sharded_clip_fn(apply_clip, mesh, halo=1)
+    clip = jnp.asarray(
+        np.random.default_rng(0).random((2, 8, 16, 16, 3), np.float32)
+    )
+    with mesh:
+        out_sharded = np.asarray(fn(params, clip))
+    out_ref = np.asarray(apply_clip(params, clip))
+    assert out_sharded.shape == out_ref.shape
+    np.testing.assert_allclose(out_sharded, out_ref, atol=1e-5)
+
+
+def test_sharded_clip_inference_fmv_close(cpu_mesh_devices):
+    """Temporal model: sharded+halo output close to full-clip output
+    (same approximation class as the reference's chunk-overlap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+    from video_enhancer_tpu.parallel.inference import make_sharded_clip_fn
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    params, _ = fmv.init(jax.random.PRNGKey(0), dim=8, num_layers=1, scale=2)
+    apply_clip = lambda p, c: fmv.apply(p, c, scale=2, scan_impl="ref")
+    mesh = make_mesh(time=2)
+    fn = make_sharded_clip_fn(apply_clip, mesh, halo=2)
+    clip = jnp.asarray(
+        np.random.default_rng(1).random((1, 8, 16, 16, 3), np.float32)
+    )
+    with mesh:
+        out_sharded = np.asarray(fn(params, clip))
+    out_ref = np.asarray(apply_clip(params, clip))
+    assert out_sharded.shape == out_ref.shape
+    err = np.abs(out_sharded - out_ref).mean()
+    assert err < 0.01, err
+
+
+def test_sharded_clip_fn_validates_shapes(cpu_mesh_devices):
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from video_enhancer_tpu.parallel.inference import make_sharded_clip_fn
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(time=4)
+    fn = make_sharded_clip_fn(lambda p, c: c, mesh, halo=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        fn({}, jnp.zeros((1, 7, 4, 4, 3)))
+    with pytest.raises(ValueError, match="< halo"):
+        fn({}, jnp.zeros((1, 4, 4, 4, 3)))
+
+
+def test_spatially_sharded_upscaler_exact(cpu_mesh_devices):
+    """H-sharded inference with halo: per-frame conv model stays exact
+    when the halo covers its receptive field."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import upscaler
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+    from video_enhancer_tpu.parallel.spatial import (
+        make_spatially_sharded_clip_fn,
+    )
+
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=8, depth=1,
+                              s2d=2, scale=2)
+
+    def apply_clip(p, clip):
+        b, t = clip.shape[0], clip.shape[1]
+        frames = clip.reshape((b * t,) + clip.shape[2:])
+        out = upscaler.apply(p, frames, scale=2, s2d=2)
+        return out.reshape((b, t) + out.shape[1:])
+
+    mesh = make_mesh(data=2, space=4)
+    fn = make_spatially_sharded_clip_fn(apply_clip, mesh, halo=8, scale=2)
+    clip = jnp.asarray(
+        np.random.default_rng(0).random((2, 2, 64, 16, 3), np.float32)
+    )
+    with mesh:
+        out_sharded = np.asarray(fn(params, clip))
+    out_ref = np.asarray(apply_clip(params, clip))
+    assert out_sharded.shape == out_ref.shape
+    # Interior rows exact; the bicubic base's 4-tap kernel stays inside
+    # the 8-row halo, so everything matches.
+    np.testing.assert_allclose(out_sharded, out_ref, atol=2e-5)
+
+
+def test_spatial_sharding_validates(cpu_mesh_devices):
+    import jax.numpy as jnp
+    import pytest
+
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+    from video_enhancer_tpu.parallel.spatial import (
+        make_spatially_sharded_clip_fn,
+    )
+
+    mesh = make_mesh(space=4)
+    fn = make_spatially_sharded_clip_fn(lambda p, c: c, mesh, halo=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        fn({}, jnp.zeros((1, 2, 30, 8, 3)))

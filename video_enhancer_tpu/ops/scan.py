@@ -40,6 +40,7 @@ __all__ = [
     "selective_scan_ref",
     "selective_scan_assoc",
     "selective_scan_pallas",
+    "selective_scan_pallas_short",
     "chunked_selective_scan",
 ]
 
@@ -67,7 +68,11 @@ def selective_scan_ref(x, dt, A, Bmat, C, D, h0=None):
     Af = A.astype(jnp.float32)
 
     if h0 is None:
-        h0 = jnp.zeros((B, Dd, N), jnp.float32)
+        # Derive the zeros from x so the carry's device-variance typing
+        # matches the scanned inputs under shard_map (zero cost after
+        # fusion; a plain jnp.zeros is "unvarying" and lax.scan rejects it).
+        h0 = jnp.zeros((B, Dd, N), jnp.float32) \
+            + (x[:, 0, :, None] * 0).astype(jnp.float32)
 
     def step(h, inputs):
         x_t, dt_t, b_t, c_t = inputs  # (B,D),(B,D),(B,N),(B,N)
@@ -168,6 +173,108 @@ def _scan_kernel(x_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
         hlast_ref[0, :, :] = state[:, :]
 
 
+# ---------------------------------------------------------------------------
+# Short-L / huge-B kernel (the video models' temporal scans: L = 8-16 frames,
+# B = B*H*W per-pixel sequences). The state (BB, N, D) lives in VMEM across
+# every step, so HBM sees only x/dt/B/C reads and y writes — the lax.scan
+# form re-reads and re-writes the full (B, D, N) state L times.
+# ---------------------------------------------------------------------------
+
+
+def _scan_short_kernel(x_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
+                       y_ref, hlast_ref, *, L, N):
+    """One B-block program; time-major layout so the per-step dynamic index
+    lands on the (untiled) leading dimension. Block layouts:
+    x_ref, dt_ref, y_ref: (L, BB, D)  B_ref, C_ref: (L, BB, N)
+    A_ref: (N, D)  D_ref: (1, D)  h0_ref, hlast_ref: (BB, N, D)
+    """
+    Af = A_ref[:, :].astype(jnp.float32)          # (N, D)
+    Dv = D_ref[0, :].astype(jnp.float32)          # (D,)
+
+    def step(l, h):
+        x_t = x_ref[l].astype(jnp.float32)            # (BB, D)
+        dt_t = dt_ref[l].astype(jnp.float32)          # (BB, D)
+        b_t = B_ref[l].astype(jnp.float32)            # (BB, N)
+        c_t = C_ref[l].astype(jnp.float32)            # (BB, N)
+        a = jnp.exp(dt_t[:, None, :] * Af[None])      # (BB, N, D)
+        h = a * h + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        y = jnp.sum(h * c_t[..., None], axis=1) + x_t * Dv
+        y_ref[l] = y.astype(y_ref.dtype)
+        return h
+
+    h = jax.lax.fori_loop(0, L, step, h0_ref[:, :, :].astype(jnp.float32))
+    hlast_ref[:, :, :] = h
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
+                                      interpret=False):
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    BB = 256
+    pad_b = (-B) % BB
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, pad_b), (0, 0), (0, 0)))
+        Bmat = jnp.pad(Bmat, ((0, pad_b), (0, 0), (0, 0)))
+        C = jnp.pad(C, ((0, pad_b), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad_b), (0, 0), (0, 0)))
+    Bp = B + pad_b
+    n_b = Bp // BB
+
+    kernel = functools.partial(_scan_short_kernel, L=L, N=N)
+    # Time-major for the kernel (dynamic step index on the leading dim).
+    xt = x.swapaxes(0, 1)          # (L, Bp, D)
+    dtt = dt.swapaxes(0, 1)
+    Bt = Bmat.swapaxes(0, 1)       # (L, Bp, N)
+    Ct = C.swapaxes(0, 1)
+    y, hlast = pl.pallas_call(
+        kernel,
+        grid=(n_b,),
+        in_specs=[
+            pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Dd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BB, N), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BB, N), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, N, Dd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, N, Dd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Bp, Dd), x.dtype),
+            jax.ShapeDtypeStruct((Bp, N, Dd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, dtt, A.swapaxes(0, 1), Bt, Ct, D[None, :], h0.swapaxes(1, 2))
+    return y.swapaxes(0, 1)[:B], hlast.swapaxes(1, 2)[:B]
+
+
+def selective_scan_pallas_short(x, dt, A, Bmat, C, D, h0=None,
+                                interpret=None):
+    """Batched short-sequence scan. Returns (y, h_last)."""
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((B, Dd, N), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
+                                             interpret=interpret)
+
+
 def _pick_chunk(L: int) -> int:
     c = 1
     while c * 2 <= min(L, 256):
@@ -253,17 +360,20 @@ def selective_scan_pallas(x, dt, A, Bmat, C, D, h0=None, interpret=None):
 def selective_scan(x, dt, A, Bmat, C, D, h0=None, impl: str | None = None):
     """Dispatching entry point. impl: ref | assoc | pallas | None(auto)."""
     if impl is None:
-        L = x.shape[1]
+        B, L = x.shape[0], x.shape[1]
+        on_tpu = jax.default_backend() == "tpu"
         if L <= 32:
-            # Short sequences (e.g. the temporal axis of a video chunk):
-            # a lax.scan of L big VPU steps beats kernel launch overhead.
-            impl = "ref"
+            # Short sequences (the temporal axis of a video chunk). On TPU
+            # with a big batch, the short-scan kernel keeps state in VMEM;
+            # otherwise a lax.scan of L big VPU steps is fine.
+            impl = "pallas_short" if (on_tpu and B >= 1024) else "ref"
         else:
-            impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
+            impl = "pallas" if on_tpu else "assoc"
     fn = {
         "ref": selective_scan_ref,
         "assoc": selective_scan_assoc,
         "pallas": selective_scan_pallas,
+        "pallas_short": selective_scan_pallas_short,
     }[impl]
     return fn(x, dt, A, Bmat, C, D, h0)
 
