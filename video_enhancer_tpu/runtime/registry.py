@@ -146,6 +146,10 @@ def _build(name: str, policy: Policy, seed: int):
             scale=1, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
             tile=entry.tile, tile_overlap=entry.tile_overlap,
+            # Skip already-sharp windows (reference quality gating,
+            # seedvr2_handler.py:506-550; threshold from policy extras).
+            quality_threshold=float(entry.extra.get("quality_threshold",
+                                                    0.85)),
         )
 
     if name == "ditvr":

@@ -47,6 +47,7 @@ class VSRHandler:
         tile_overlap: int = 32,
         compute_dtype=jnp.bfloat16,
         context: dict | None = None,
+        quality_threshold: float | None = None,
     ):
         self.name = name
         self.scale = scale
@@ -55,6 +56,10 @@ class VSRHandler:
         self.tile = tile
         self.tile_overlap = tile_overlap
         self.compute_dtype = compute_dtype
+        # Quality gating (reference seedvr2_handler.py:506-550): windows whose
+        # sharpness already exceeds the threshold skip the model entirely
+        # (only meaningful for scale-1 restorers).
+        self.quality_threshold = quality_threshold if scale == 1 else None
         self.params = jax.tree.map(
             lambda a: a.astype(compute_dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a,
@@ -94,16 +99,26 @@ class VSRHandler:
         # Clamp final tiles inside the frame (keeps tile shapes static).
         ys = sorted({min(y, max(h - ts, 0)) for y in ys})
         xs = sorted({min(x, max(w - ts, 0)) for x in xs})
-        tiles, origins = [], []
+        # Batch tiles through the forward in fixed-size groups (the reference
+        # loops tiles through separate forwards, vsrm_handler.py:623-664);
+        # batching keeps the MXU fed, the fixed group size keeps one
+        # compilation and bounds activation memory.
+        tile_stack, origins = [], []
         for y in ys:
             for x in xs:
-                tiles.append(self._fwd(
-                    self.params, clip[None, :, y:y + ts, x:x + ts, :],
-                    self.context,
-                )[0])
+                tile_stack.append(clip[:, y:y + ts, x:x + ts, :])
                 origins.append((y * self.scale, x * self.scale))
         s = self.scale
-        stacked = jnp.stack(tiles)                     # (N, T, sts, sts, 3)
+        group = 4
+        outs = []
+        for i in range(0, len(tile_stack), group):
+            batch = tile_stack[i:i + group]
+            n_valid = len(batch)
+            while len(batch) < group and len(tile_stack) > group:
+                batch.append(batch[-1])  # pad to keep the shape static
+            out = self._fwd(self.params, jnp.stack(batch), self.context)
+            outs.append(out[:n_valid])
+        stacked = jnp.concatenate(outs, axis=0)        # (N, T, sts, sts, 3)
         per_frame = jnp.swapaxes(stacked, 0, 1)        # (T, N, sts, sts, 3)
         blend = jax.vmap(
             lambda ft: overlap_add_blend(
@@ -111,6 +126,18 @@ class VSRHandler:
             )
         )
         return blend(per_frame)
+
+    @staticmethod
+    def _window_quality(frames) -> float:
+        """Normalized Laplacian-variance sharpness of a window (the
+        reference's per-window quality score, seedvr2_handler.py:506-550)."""
+        import cv2
+
+        arr = np.asarray(frames)
+        mid = arr[arr.shape[0] // 2]
+        gray = cv2.cvtColor((mid * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        var = cv2.Laplacian(gray, cv2.CV_32F).var()
+        return float(min(var / 500.0, 1.0))
 
     # -- video file processing --------------------------------------------
     def enhance_video(self, input_path, output_path,
@@ -150,8 +177,17 @@ class VSRHandler:
                     if progress_cb:
                         progress_cb(frames_done, meta.frame_count)
 
+                windows_skipped = 0
                 for item in pipe:
-                    out = self.process_clip(item["frames"])
+                    if self.quality_threshold is not None and \
+                            self._window_quality(item["frames"]) \
+                            > self.quality_threshold:
+                        # Window already sharp: pass through untouched
+                        # (reference seedvr2_handler.py:517-527).
+                        out = item["frames"]
+                        windows_skipped += 1
+                    else:
+                        out = self.process_clip(item["frames"])
                     pending.append((out, item["start"], item["valid"]))
                     if len(pending) >= fetch_group:
                         drain()
@@ -167,6 +203,7 @@ class VSRHandler:
                 "output_resolution": list(out_hw),
                 "scale": s,
                 "chunk": self.chunk,
+                "windows_skipped": windows_skipped,
                 "overlap": self.overlap,
                 "output_path": str(output_path),
             }

@@ -151,9 +151,36 @@ class ApiServer:
             )
             result = self.enhancer.process_task(task)
             if result.status == "success":
+                post = {}
+                # Post experts requested via the API (reference toggles,
+                # process_endpoints.py:115-158): best-effort.
+                try:
+                    if job.get("enable_face_expert"):
+                        self.jobs.update(job_id, progress=0.85,
+                                         stage="face_restoration")
+                        from ..runtime.face_handler import FaceRestorationExpert
+
+                        FaceRestorationExpert().process_video_selective(
+                            job["output_path"], job["output_path"])
+                        post["face_restoration"] = True
+                    target_fps = job.get("target_fps")
+                    if job.get("enable_hfr") or (
+                            target_fps and target_fps > meta.fps * 1.5):
+                        self.jobs.update(job_id, progress=0.9,
+                                         stage="hfr_interpolation")
+                        from ..runtime.rife_handler import RIFEHandler
+
+                        tmp = job["output_path"] + ".hfr.mp4"
+                        RIFEHandler().interpolate_video(
+                            job["output_path"], tmp,
+                            target_fps=target_fps or meta.fps * 2)
+                        Path(tmp).replace(job["output_path"])
+                        post["hfr"] = True
+                except Exception as e:
+                    post["post_expert_error"] = str(e)
                 self.jobs.update(
                     job_id, status=JobStatus.COMPLETED, progress=1.0,
-                    stage="done", result=result.metrics,
+                    stage="done", result={**result.metrics, **post},
                     completed_at=time.time(),
                 )
                 tracker.finish_operation(op, success=True)
@@ -356,6 +383,15 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
             "model": form.get("vsr_strategy") or plan["strategy"],
             "quality": form.get("quality_tier", "balanced"),
             "latency_class": latency,
+            # Extended request fields (reference Pydantic model,
+            # process_endpoints.py:115-158).
+            "target_fps": float(form["target_fps"])
+            if form.get("target_fps") else None,
+            "enable_face_expert": form.get("enable_face_expert", "")
+            .lower() in ("1", "true", "yes"),
+            "enable_hfr": form.get("enable_hfr", "").lower()
+            in ("1", "true", "yes"),
+            "output_codec": form.get("output_codec", "mp4v"),
             "progress": 0.0,
             "stage": "queued",
             "routing_plan": plan["routing_plan"],
