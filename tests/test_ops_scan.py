@@ -102,3 +102,16 @@ def test_pallas_short_with_initial_state():
     y_pl, h_pl = selective_scan_pallas_short(*args, h0=h0, interpret=True)
     assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pl))) < 1e-4
     assert np.max(np.abs(np.asarray(h_ref) - np.asarray(h_pl))) < 1e-4
+
+
+def test_pallas_short_nostate_matches_ref():
+    from video_enhancer_tpu.ops.scan import (
+        selective_scan_pallas_short, selective_scan_ref,
+    )
+
+    args = _inputs(B=300, L=8, D=16, N=4, seed=7)
+    y_ref, _ = selective_scan_ref(*args)
+    y_pl, h = selective_scan_pallas_short(*args, interpret=True,
+                                          need_state=False)
+    assert h is None
+    assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pl))) < 1e-4

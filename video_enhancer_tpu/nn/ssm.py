@@ -88,7 +88,8 @@ def ssm_apply(p, x: jnp.ndarray, reverse: bool = False,
     dt = jax.nn.softplus(dense_apply(p["dt_proj"], dt_raw) + p["dt_bias"])
 
     A = -jnp.exp(p["A_log"])
-    y, _ = selective_scan(u, dt, A, Bmat, Cmat, p["D"], impl=impl)
+    y, _ = selective_scan(u, dt, A, Bmat, Cmat, p["D"], impl=impl,
+                          need_state=False)
     y = y * jax.nn.silu(gate)
     y = dense_apply(p["out_proj"], y)
     if reverse:

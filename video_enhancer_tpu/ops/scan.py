@@ -263,16 +263,92 @@ def _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
 
 
 def selective_scan_pallas_short(x, dt, A, Bmat, C, D, h0=None,
-                                interpret=None):
-    """Batched short-sequence scan. Returns (y, h_last)."""
+                                interpret=None, need_state: bool = True):
+    """Batched short-sequence scan. Returns (y, h_last).
+
+    With ``h0=None`` and ``need_state=False`` the stateless kernel runs
+    (state never leaves VMEM) and ``h_last`` comes back as None.
+    """
     B, L, Dd = x.shape
     N = A.shape[1]
-    if h0 is None:
-        h0 = jnp.zeros((B, Dd, N), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if h0 is None and not need_state:
+        y = _selective_scan_pallas_short_nostate_impl(
+            x, dt, A, Bmat, C, D, interpret=interpret)
+        return y, None
+    if h0 is None:
+        h0 = jnp.zeros((B, Dd, N), jnp.float32)
     return _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
                                              interpret=interpret)
+
+
+def _scan_short_kernel_nostate(x_ref, dt_ref, A_ref, B_ref, C_ref, D_ref,
+                               y_ref, state, *, L, N):
+    """Stateless variant: zero initial state, final state discarded — the
+    (B, N, D) fp32 state tensors never touch HBM (they were half the
+    kernel's traffic). Layouts as in _scan_short_kernel; ``state`` is VMEM
+    scratch (BB, N, D) fp32."""
+    Af = A_ref[:, :].astype(jnp.float32)
+    Dv = D_ref[0, :].astype(jnp.float32)
+    state[:, :, :] = jnp.zeros_like(state)
+
+    def step(l, _):
+        x_t = x_ref[l].astype(jnp.float32)
+        dt_t = dt_ref[l].astype(jnp.float32)
+        b_t = B_ref[l].astype(jnp.float32)
+        c_t = C_ref[l].astype(jnp.float32)
+        a = jnp.exp(dt_t[:, None, :] * Af[None])
+        h = a * state[:, :, :] + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        state[:, :, :] = h
+        y_ref[l] = (jnp.sum(h * c_t[..., None], axis=1)
+                    + x_t * Dv).astype(y_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, L, step, ())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _selective_scan_pallas_short_nostate_impl(x, dt, A, Bmat, C, D,
+                                              interpret=False):
+    B, L, Dd = x.shape
+    N = A.shape[1]
+    BB = 256
+    pad_b = (-B) % BB
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, pad_b), (0, 0), (0, 0)))
+        Bmat = jnp.pad(Bmat, ((0, pad_b), (0, 0), (0, 0)))
+        C = jnp.pad(C, ((0, pad_b), (0, 0), (0, 0)))
+    Bp = B + pad_b
+    n_b = Bp // BB
+
+    kernel = functools.partial(_scan_short_kernel_nostate, L=L, N=N)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_b,),
+        in_specs=[
+            pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Dd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BB, N), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BB, N), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, Bp, Dd), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BB, N, Dd), jnp.float32)],
+        interpret=interpret,
+    )(x.swapaxes(0, 1), dt.swapaxes(0, 1), A.swapaxes(0, 1),
+      Bmat.swapaxes(0, 1), C.swapaxes(0, 1), D[None, :])
+    return y.swapaxes(0, 1)[:B]
 
 
 def _pick_chunk(L: int) -> int:
@@ -357,8 +433,13 @@ def selective_scan_pallas(x, dt, A, Bmat, C, D, h0=None, interpret=None):
     return _selective_scan_pallas_impl(x, dt, A, Bmat, C, D, h0, interpret=interpret)
 
 
-def selective_scan(x, dt, A, Bmat, C, D, h0=None, impl: str | None = None):
-    """Dispatching entry point. impl: ref | assoc | pallas | None(auto)."""
+def selective_scan(x, dt, A, Bmat, C, D, h0=None, impl: str | None = None,
+                   need_state: bool = True):
+    """Dispatching entry point. impl: ref | assoc | pallas | None(auto).
+
+    ``need_state=False`` lets the short-scan kernel skip materializing the
+    (B, D, N) state in HBM (h_last comes back as None).
+    """
     if impl is None:
         B, L = x.shape[0], x.shape[1]
         on_tpu = jax.default_backend() == "tpu"
@@ -369,11 +450,13 @@ def selective_scan(x, dt, A, Bmat, C, D, h0=None, impl: str | None = None):
             impl = "pallas_short" if (on_tpu and B >= 1024) else "ref"
         else:
             impl = "pallas" if on_tpu else "assoc"
+    if impl == "pallas_short":
+        return selective_scan_pallas_short(x, dt, A, Bmat, C, D, h0,
+                                           need_state=need_state)
     fn = {
         "ref": selective_scan_ref,
         "assoc": selective_scan_assoc,
         "pallas": selective_scan_pallas,
-        "pallas_short": selective_scan_pallas_short,
     }[impl]
     return fn(x, dt, A, Bmat, C, D, h0)
 

@@ -13,8 +13,6 @@ inside the model for exactness there).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

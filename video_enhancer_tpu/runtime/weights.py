@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 import pathlib
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

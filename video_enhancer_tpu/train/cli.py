@@ -75,7 +75,7 @@ def main(argv=None):
     from ..parallel.mesh import make_mesh
     from .checkpoint import export_params, restore_checkpoint, save_checkpoint
     from .data import pair_iterator
-    from .step import TrainState, make_optimizer, make_train_step
+    from .step import make_optimizer, make_train_step
 
     if args.source:
         from ..io.video import read_video

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
-
 __all__ = ["make_pairs", "pair_iterator"]
 
 
