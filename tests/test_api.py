@@ -223,3 +223,28 @@ def test_ui_served():
     assert resp.status == 200
     assert b"Enhance a video" in resp.data
     assert resp.headers["Content-Type"] == "text/html"
+
+
+def test_job_evaluate(api, demo_bytes):
+    status, body = _post_multipart(
+        api + "/api/v1/process/auto",
+        {"file": ("e.mp4", demo_bytes), "vsr_strategy": "bicubic"},
+    )
+    assert status == 202
+    job_id = body["job_id"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, job = _get(api + f"/api/v1/job/{job_id}")
+        if job["status"] in ("completed", "failed"):
+            break
+        time.sleep(1)
+    assert job["status"] == "completed"
+    req = urllib.request.Request(api + f"/api/v1/job/{job_id}/evaluate",
+                                 method="POST")
+    with urllib.request.urlopen(req) as resp:
+        m = json.loads(resp.read())
+    assert m["psnr"] > 25
+    assert 0 <= m["ssim"] <= 1
+    # metrics persisted on the job record
+    _, job = _get(api + f"/api/v1/job/{job_id}")
+    assert "evaluation" in job

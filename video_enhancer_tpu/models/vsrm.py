@@ -54,7 +54,7 @@ def _block_init(key, dim, state_dim, heads):
 
 
 def init(key, dim: int = 64, num_blocks: int = 6, scale: int = 4,
-         state_dim: int = 16, heads: int = 4):
+         state_dim: int = 8, heads: int = 4):
     ks = jax.random.split(key, num_blocks + 5)
     params = {
         "embed": nn.conv3d_init(ks[0], 1, 3, 3, 3, dim),
@@ -75,12 +75,28 @@ def init(key, dim: int = 64, num_blocks: int = 6, scale: int = 4,
     return params, meta
 
 
-def _spatial_ssm(p, x, impl):
-    """Bidirectional scan over the flattened raster of each frame."""
+def _spatial_ssm(p, x, impl, mode: str = "raster"):
+    """Bidirectional spatial scan of each frame.
+
+    ``raster`` (default): one flattened H*W scan through the L-streamed
+    Pallas kernel (the reference's sequence order,
+    ea_mamba_blocks.py:120-147). ``axial``: rows then columns — measured
+    SLOWER on v5e (715 vs 452 ms for the 6-block model at 180p: the doubled
+    in/out projections outweigh the better scan shapes), kept as an option
+    for experimentation.
+    """
     b, t, h, w, c = x.shape
-    seq = x.reshape(b * t, h * w, c)
-    y = bimamba_apply(p, seq, impl=impl)
-    return y.reshape(b, t, h, w, c)
+    if mode == "raster":
+        seq = x.reshape(b * t, h * w, c)
+        y = bimamba_apply(p, seq, impl=impl)
+        return y.reshape(b, t, h, w, c)
+    # rows: (B*T*H, W, C)
+    rows = x.reshape(b * t * h, w, c)
+    y = bimamba_apply(p, rows, impl=impl).reshape(b, t, h, w, c)
+    # columns: (B*T*W, H, C)
+    cols = y.transpose(0, 1, 3, 2, 4).reshape(b * t * w, h, c)
+    y = bimamba_apply(p, cols, impl=impl)
+    return y.reshape(b, t, w, h, c).transpose(0, 1, 3, 2, 4)
 
 
 def _temporal_mix(blk, x, heads):

@@ -436,6 +436,36 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
                         headers={"Content-Disposition":
                                  f'attachment; filename="{path.name}"'})
 
+    @r.post("/api/v1/job/{job_id}/evaluate")
+    def job_evaluate(req):
+        """PSNR/SSIM/temporal-consistency of a job's output vs its input
+        (reference _evaluate_psnr_ssim, app.py:1579-1602)."""
+        job = srv.jobs.get(req.path_params["job_id"])
+        if job is None:
+            return Response({"error": {"code": "API_404",
+                                       "message": "job not found"}}, 404)
+        if job["status"] != JobStatus.COMPLETED:
+            return Response({"error": {"code": "API_409",
+                                       "message": f"job is {job['status']}"}},
+                            409)
+        import jax.numpy as jnp
+
+        from ..io.video import read_video
+        from ..ops import resize
+        from ..utils.metrics import evaluate_pair
+
+        out = jnp.asarray(read_video(job["output_path"])).astype(
+            jnp.float32) / 255.0
+        ref = jnp.asarray(read_video(job["input_path"])).astype(
+            jnp.float32) / 255.0
+        n = min(out.shape[0], ref.shape[0])
+        out, ref = out[:n], ref[:n]
+        if out.shape[1:3] != ref.shape[1:3]:
+            ref = resize(ref, out.shape[1:3], method="cubic")
+        metrics = {k: float(v) for k, v in evaluate_pair(out, ref).items()}
+        srv.jobs.update(req.path_params["job_id"], evaluation=metrics)
+        return Response(metrics)
+
     @r.get("/api/v1/jobs")
     def jobs_list(req):
         status = req.query.get("status")
