@@ -18,6 +18,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--data-dir", default="data")
     p.add_argument("--require-auth", action="store_true")
+    p.add_argument("--self-test", action="store_true",
+                   help="run a functionality self-test at startup "
+                        "(reference initialize_enhancer, app.py:626-751)")
     args = p.parse_args(argv)
 
     from .utils.jaxenv import setup
@@ -35,6 +38,13 @@ def main(argv=None):
                        require_auth=args.require_auth)
     router = create_app(server)
     register_ui(router)
+    if args.self_test:
+        from .warm_start import warm_start
+
+        results = warm_start(models=["cnn_upscaler", "bicubic"], size=32,
+                             frames=2)
+        ok = all(r["ok"] for r in results.values())
+        log.info("self-test %s: %s", "passed" if ok else "FAILED", results)
     log.info("UI on http://%s:%d/ui  API on /api/v1", args.host, args.port)
     serve(router, host=args.host, port=args.port)
 

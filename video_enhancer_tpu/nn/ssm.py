@@ -61,24 +61,25 @@ def ssm_init(key, dim: int, state_dim: int = 16, expand: int = 2,
     }
 
 
-def ssm_apply(p, x: jnp.ndarray, reverse: bool = False,
-              impl: str | None = None) -> jnp.ndarray:
-    """x: (B, L, dim) -> (B, L, dim)."""
-    inner = p["D"].shape[0]
+def _ssm_streams(p, x: jnp.ndarray, reverse: bool):
+    """Projection + conv + dt streams in NATURAL sequence order.
+
+    For the reverse direction the flip->causal-conv->unflip of the naive
+    formulation is algebraically an anti-causal conv with tap-reversed
+    weights — no data movement.
+    """
     state_dim = p["A_log"].shape[1]
     dt_rank = p["x_proj"]["w"].shape[1] - 2 * state_dim
 
-    if reverse:
-        x = jnp.flip(x, axis=1)
-
     xz = dense_apply(p["in_proj"], x)
     u, gate = jnp.split(xz, 2, axis=-1)
-    # Causal depthwise conv over L (left-pad so position t sees <= t).
     k = p["conv_w"].shape[0]
-    u = depthwise_conv1d(
-        u, p["conv_w"].astype(u.dtype), p["conv_b"],
-        padding=((k - 1, 0),),
-    )
+    w = p["conv_w"].astype(u.dtype)
+    if reverse:
+        u = depthwise_conv1d(u, jnp.flip(w, axis=0), p["conv_b"],
+                             padding=((0, k - 1),))
+    else:
+        u = depthwise_conv1d(u, w, p["conv_b"], padding=((k - 1, 0),))
     u = jax.nn.silu(u)
 
     proj = dense_apply(p["x_proj"], u)
@@ -86,15 +87,27 @@ def ssm_apply(p, x: jnp.ndarray, reverse: bool = False,
     Bmat = proj[..., dt_rank:dt_rank + state_dim]
     Cmat = proj[..., dt_rank + state_dim:]
     dt = jax.nn.softplus(dense_apply(p["dt_proj"], dt_raw) + p["dt_bias"])
+    return u, gate, dt, Bmat, Cmat
 
-    A = -jnp.exp(p["A_log"])
-    y, _ = selective_scan(u, dt, A, Bmat, Cmat, p["D"], impl=impl,
-                          need_state=False)
-    y = y * jax.nn.silu(gate)
-    y = dense_apply(p["out_proj"], y)
+
+def ssm_apply(p, x: jnp.ndarray, reverse: bool = False,
+              impl: str | None = None) -> jnp.ndarray:
+    """x: (B, L, dim) -> (B, L, dim)."""
+    u, gate, dt, Bmat, Cmat = _ssm_streams(p, x, reverse=reverse)
     if reverse:
-        y = jnp.flip(y, axis=1)
-    return y
+        # Non-fused fallback: scan the reversed views (the fused bidir
+        # kernel in bimamba_apply avoids these flips entirely).
+        flip = lambda a: jnp.flip(a, axis=1)
+        A = -jnp.exp(p["A_log"])
+        y, _ = selective_scan(flip(u), flip(dt), A, flip(Bmat), flip(Cmat),
+                              p["D"], impl=impl, need_state=False)
+        y = flip(y)
+    else:
+        A = -jnp.exp(p["A_log"])
+        y, _ = selective_scan(u, dt, A, Bmat, Cmat, p["D"], impl=impl,
+                              need_state=False)
+    y = y * jax.nn.silu(gate)
+    return dense_apply(p["out_proj"], y)
 
 
 def bimamba_init(key, dim: int, **kw):
@@ -109,6 +122,24 @@ def bimamba_init(key, dim: int, **kw):
 
 
 def bimamba_apply(p, x: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
-    yf = ssm_apply(p["fwd"], x, impl=impl)
-    yb = ssm_apply(p["bwd"], x, reverse=True, impl=impl)
+    B, L = x.shape[0], x.shape[1]
+    use_fused = (
+        impl in (None, "pallas_short")
+        and L <= 32 and B >= 1024
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from ..ops.scan import selective_scan_bidir
+
+        uf, gf, dtf, Bf, Cf = _ssm_streams(p["fwd"], x, reverse=False)
+        ub, gb, dtb, Bb, Cb = _ssm_streams(p["bwd"], x, reverse=True)
+        yf, yb = selective_scan_bidir(
+            uf, dtf, -jnp.exp(p["fwd"]["A_log"]), Bf, Cf, p["fwd"]["D"],
+            ub, dtb, -jnp.exp(p["bwd"]["A_log"]), Bb, Cb, p["bwd"]["D"],
+        )
+        yf = dense_apply(p["fwd"]["out_proj"], yf * jax.nn.silu(gf))
+        yb = dense_apply(p["bwd"]["out_proj"], yb * jax.nn.silu(gb))
+    else:
+        yf = ssm_apply(p["fwd"], x, impl=impl)
+        yb = ssm_apply(p["bwd"], x, reverse=True, impl=impl)
     return dense_apply(p["fuse"], jnp.concatenate([yf, yb], axis=-1))

@@ -351,6 +351,105 @@ def _selective_scan_pallas_short_nostate_impl(x, dt, A, Bmat, C, D,
     return y.swapaxes(0, 1)[:B]
 
 
+def _scan_bidir_kernel(xf_ref, dtf_ref, Af_ref, Bf_ref, Cf_ref, Df_ref,
+                       xb_ref, dtb_ref, Ab_ref, Bb_ref, Cb_ref, Db_ref,
+                       yf_ref, yb_ref, state_f, state_b, *, L, N):
+    """Fused bidirectional stateless scan: forward stream scans l ascending
+    while the backward stream scans L-1-l descending in the same loop —
+    one kernel launch, no host-side flips. Layouts as in
+    _scan_short_kernel_nostate (time-major)."""
+    Aff = Af_ref[:, :].astype(jnp.float32)
+    Abf = Ab_ref[:, :].astype(jnp.float32)
+    Dfv = Df_ref[0, :].astype(jnp.float32)
+    Dbv = Db_ref[0, :].astype(jnp.float32)
+    state_f[:, :, :] = jnp.zeros_like(state_f)
+    state_b[:, :, :] = jnp.zeros_like(state_b)
+
+    def step(l, _):
+        lb = L - 1 - l
+        # forward direction
+        x_t = xf_ref[l].astype(jnp.float32)
+        dt_t = dtf_ref[l].astype(jnp.float32)
+        b_t = Bf_ref[l].astype(jnp.float32)
+        c_t = Cf_ref[l].astype(jnp.float32)
+        a = jnp.exp(dt_t[:, None, :] * Aff[None])
+        hf = a * state_f[:, :, :] + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        state_f[:, :, :] = hf
+        yf_ref[l] = (jnp.sum(hf * c_t[..., None], axis=1)
+                     + x_t * Dfv).astype(yf_ref.dtype)
+        # backward direction
+        x_t = xb_ref[lb].astype(jnp.float32)
+        dt_t = dtb_ref[lb].astype(jnp.float32)
+        b_t = Bb_ref[lb].astype(jnp.float32)
+        c_t = Cb_ref[lb].astype(jnp.float32)
+        a = jnp.exp(dt_t[:, None, :] * Abf[None])
+        hb = a * state_b[:, :, :] + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        state_b[:, :, :] = hb
+        yb_ref[lb] = (jnp.sum(hb * c_t[..., None], axis=1)
+                      + x_t * Dbv).astype(yb_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, L, step, ())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
+                               xb, dtb, Ab, Bb, Cb, Db, interpret=False):
+    B, L, Dd = xf.shape
+    N = Af.shape[1]
+    BB = 256
+    pad_b = (-B) % BB
+
+    def padb(a):
+        return jnp.pad(a, ((0, pad_b), (0, 0), (0, 0))) if pad_b else a
+
+    xf, dtf, Bf, Cf = map(padb, (xf, dtf, Bf, Cf))
+    xb, dtb, Bb, Cb = map(padb, (xb, dtb, Bb, Cb))
+    Bp = B + pad_b
+    n_b = Bp // BB
+
+    def tm(a):  # time-major
+        return a.swapaxes(0, 1)
+
+    seq_spec = pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((L, BB, N), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((N, Dd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, Dd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_scan_bidir_kernel, L=L, N=N)
+    yf, yb = pl.pallas_call(
+        kernel,
+        grid=(n_b,),
+        in_specs=[seq_spec, seq_spec, aspec, nspec, nspec, dspec,
+                  seq_spec, seq_spec, aspec, nspec, nspec, dspec],
+        out_specs=[seq_spec, seq_spec],
+        out_shape=[jax.ShapeDtypeStruct((L, Bp, Dd), xf.dtype),
+                   jax.ShapeDtypeStruct((L, Bp, Dd), xb.dtype)],
+        scratch_shapes=[pltpu.VMEM((BB, N, Dd), jnp.float32),
+                        pltpu.VMEM((BB, N, Dd), jnp.float32)],
+        interpret=interpret,
+    )(tm(xf), tm(dtf), Af.swapaxes(0, 1), tm(Bf), tm(Cf), Df[None, :],
+      tm(xb), tm(dtb), Ab.swapaxes(0, 1), tm(Bb), tm(Cb), Db[None, :])
+    return tm(yf)[:B], tm(yb)[:B]
+
+
+def selective_scan_bidir(xf, dtf, Af, Bf, Cf, Df,
+                         xb, dtb, Ab, Bb, Cb, Db, interpret=None):
+    """Fused forward + time-reversed scans over the same sequence axis.
+
+    The forward stream is scanned l = 0..L-1; the backward stream is scanned
+    l = L-1..0 (equivalent to flip -> scan -> flip, without the flips).
+    Returns (y_forward, y_backward), both in natural order.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
+                                      xb, dtb, Ab, Bb, Cb, Db,
+                                      interpret=interpret)
+
+
 def _pick_chunk(L: int) -> int:
     c = 1
     while c * 2 <= min(L, 256):

@@ -102,14 +102,23 @@ async function refreshJobs() {
     const row = t.insertRow();
     const cls = j.status === 'completed' ? 'ok'
                : j.status === 'failed' ? 'bad' : 'run';
+    const evalStr = j.evaluation
+      ? (' psnr ' + j.evaluation.psnr.toFixed(1)
+         + ' ssim ' + j.evaluation.ssim.toFixed(2)) : '';
     row.innerHTML = '<td>' + j.job_id.slice(0, 8) + '</td><td>'
       + (j.filename || '') + '</td><td>' + (j.strategy || '') + '</td>'
-      + '<td class="' + cls + '">' + j.status + '</td>'
+      + '<td class="' + cls + '">' + j.status + evalStr + '</td>'
       + '<td>' + Math.round((j.progress || 0) * 100) + '%</td>'
       + '<td>' + (j.status === 'completed'
-          ? '<a href="/api/v1/job/' + j.job_id + '/download">download</a>'
+          ? '<a href="/api/v1/job/' + j.job_id + '/download">download</a> '
+            + '<a href="#" onclick="evalJob(\\'' + j.job_id
+            + '\\');return false">eval</a>'
           : '') + '</td>';
   }
+}
+async function evalJob(id) {
+  await fetch('/api/v1/job/' + id + '/evaluate', {method: 'POST'});
+  refreshJobs();
 }
 async function refreshLog() {
   const r = await fetch('/logs?n=40'); const d = await r.json();
