@@ -176,3 +176,26 @@ def test_ssm_reverse_anticausal_equivalence():
     ref = np.asarray(old_reverse(p, x))
     new = np.asarray(ssm_apply(p, x, reverse=True, impl="ref"))
     assert np.max(np.abs(ref - new)) < 1e-4
+
+
+def test_pallas_short_gradients_match_ref():
+    """Grad through the kernel path (custom VJP via ref) == grad of ref."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops.scan import (
+        _short_nostate_diffable, selective_scan_ref,
+    )
+
+    args = _inputs(B=32, L=6, D=8, N=4, seed=12)
+
+    def loss_kernel(x, dt, A, Bm, C, D):
+        return jnp.sum(_short_nostate_diffable(x, dt, A, Bm, C, D) ** 2)
+
+    def loss_ref(x, dt, A, Bm, C, D):
+        return jnp.sum(selective_scan_ref(x, dt, A, Bm, C, D)[0] ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g1, g2):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-3

@@ -262,6 +262,29 @@ def _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
     return y.swapaxes(0, 1)[:B], hlast.swapaxes(1, 2)[:B]
 
 
+@jax.custom_vjp
+def _short_nostate_diffable(x, dt, A, Bmat, C, D):
+    """Differentiable wrapper: Pallas forward, reference-impl backward
+    (the kernels define no VJP; recomputing the scan through the
+    streaming lax.scan form in the backward pass is exact)."""
+    interpret = jax.default_backend() != "tpu"
+    return _selective_scan_pallas_short_nostate_impl(
+        x, dt, A, Bmat, C, D, interpret=interpret)
+
+
+def _short_nostate_fwd(x, dt, A, Bmat, C, D):
+    return _short_nostate_diffable(x, dt, A, Bmat, C, D), \
+        (x, dt, A, Bmat, C, D)
+
+
+def _short_nostate_bwd(res, gy):
+    _, vjp = jax.vjp(lambda *a: selective_scan_ref(*a)[0], *res)
+    return vjp(gy)
+
+
+_short_nostate_diffable.defvjp(_short_nostate_fwd, _short_nostate_bwd)
+
+
 def selective_scan_pallas_short(x, dt, A, Bmat, C, D, h0=None,
                                 interpret=None, need_state: bool = True):
     """Batched short-sequence scan. Returns (y, h_last).
@@ -274,9 +297,7 @@ def selective_scan_pallas_short(x, dt, A, Bmat, C, D, h0=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if h0 is None and not need_state:
-        y = _selective_scan_pallas_short_nostate_impl(
-            x, dt, A, Bmat, C, D, interpret=interpret)
-        return y, None
+        return _short_nostate_diffable(x, dt, A, Bmat, C, D), None
     if h0 is None:
         h0 = jnp.zeros((B, Dd, N), jnp.float32)
     return _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
@@ -435,19 +456,48 @@ def _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
     return tm(yf)[:B], tm(yb)[:B]
 
 
+@jax.custom_vjp
+def _bidir_diffable(xf, dtf, Af, Bf, Cf, Df, xb, dtb, Ab, Bb, Cb, Db):
+    interpret = jax.default_backend() != "tpu"
+    return _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
+                                      xb, dtb, Ab, Bb, Cb, Db,
+                                      interpret=interpret)
+
+
+def _bidir_ref(xf, dtf, Af, Bf, Cf, Df, xb, dtb, Ab, Bb, Cb, Db):
+    yf, _ = selective_scan_ref(xf, dtf, Af, Bf, Cf, Df)
+    flip = lambda a: jnp.flip(a, axis=1)
+    yb, _ = selective_scan_ref(flip(xb), flip(dtb), Ab, flip(Bb), flip(Cb),
+                               Db)
+    return yf, flip(yb)
+
+
+def _bidir_fwd(*args):
+    return _bidir_diffable(*args), args
+
+
+def _bidir_bwd(res, gy):
+    _, vjp = jax.vjp(_bidir_ref, *res)
+    return vjp(gy)
+
+
+_bidir_diffable.defvjp(_bidir_fwd, _bidir_bwd)
+
+
 def selective_scan_bidir(xf, dtf, Af, Bf, Cf, Df,
                          xb, dtb, Ab, Bb, Cb, Db, interpret=None):
     """Fused forward + time-reversed scans over the same sequence axis.
 
     The forward stream is scanned l = 0..L-1; the backward stream is scanned
     l = L-1..0 (equivalent to flip -> scan -> flip, without the flips).
-    Returns (y_forward, y_backward), both in natural order.
+    Returns (y_forward, y_backward), both in natural order. Differentiable
+    (reference-impl backward).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    return _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
-                                      xb, dtb, Ab, Bb, Cb, Db,
-                                      interpret=interpret)
+    if interpret is not None and interpret:
+        return _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
+                                          xb, dtb, Ab, Bb, Cb, Db,
+                                          interpret=True)
+    return _bidir_diffable(xf, dtf, Af, Bf, Cf, Df, xb, dtb, Ab, Bb, Cb, Db)
 
 
 def _pick_chunk(L: int) -> int:

@@ -74,17 +74,28 @@ def build_handler(name: str, policy: Policy | None = None, seed: int = 0):
 
 
 def _load_or_init(name: str, entry, init_fn, **kw):
-    """Weight resolution chain: policy path -> random init (reference
-    vsrm_handler.py:260-410 chain, minus network downloads — no egress)."""
+    """Weight resolution chain: policy path -> bundled weights -> random
+    init (reference vsrm_handler.py:260-410 chain, minus network downloads
+    — no egress)."""
+    import pathlib
+
     key = jax.random.PRNGKey(abs(hash(name)) % (2**31))
     params, meta = init_fn(key, **kw)
+    candidates = []
     if entry is not None and entry.weights_path:
-        from .weights import try_load_params
+        candidates.append(entry.weights_path)
+    scale = entry.scale if entry is not None else kw.get("scale", 4)
+    candidates.append(
+        pathlib.Path(__file__).resolve().parents[1] / "weights"
+        / f"{name}_{scale}x.npz"
+    )
+    from .weights import try_load_params
 
-        loaded = try_load_params(entry.weights_path, params)
-        if loaded is not None:
-            params = loaded
-            meta = dict(meta, weights="loaded")
+    for cand in candidates:
+        if pathlib.Path(cand).exists():
+            loaded = try_load_params(cand, params)
+            if loaded is not None:
+                return loaded, dict(meta, weights=str(cand))
     return params, meta
 
 

@@ -14,14 +14,16 @@ import json
 import time
 
 
-def build_model(name: str, scale: int):
+def build_model(name: str, scale: int, dim: int | None = None,
+                layers: int | None = None):
     import jax
 
     key = jax.random.PRNGKey(0)
     if name == "cnn_upscaler":
         from ..models import upscaler
 
-        params, meta = upscaler.init(key, features=128, scale=scale, s2d=4)
+        params, meta = upscaler.init(key, features=dim or 128, scale=scale,
+                                     s2d=4)
 
         def apply_clip(p, clip):
             b, t = clip.shape[0], clip.shape[1]
@@ -33,13 +35,14 @@ def build_model(name: str, scale: int):
     if name == "fast_mamba_vsr":
         from ..models import fast_mamba_vsr as m
 
-        params, meta = m.init(key, dim=32, num_layers=4, scale=scale)
-        return params, lambda p, c: m.apply(p, c, scale=scale,
-                                            scan_impl="ref")
+        params, meta = m.init(key, dim=dim or 48, num_layers=layers or 8,
+                              scale=scale)
+        return params, lambda p, c: m.apply(p, c, scale=scale)
     if name == "vsrm":
         from ..models import vsrm as m
 
-        params, meta = m.init(key, dim=32, num_blocks=2, scale=scale)
+        params, meta = m.init(key, dim=dim or 64, num_blocks=layers or 6,
+                              scale=scale)
         return params, lambda p, c: m.apply(p, c, scale=scale)
     raise SystemExit(f"unsupported trainable model: {name}")
 
@@ -53,6 +56,8 @@ def main(argv=None):
     p.add_argument("--clip-len", type=int, default=4)
     p.add_argument("--crop", type=int, default=128)
     p.add_argument("--scale", type=int, default=2)
+    p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--layers", type=int, default=None)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--source", default=None,
                    help="video file for training frames (default: synthetic)")
@@ -86,7 +91,8 @@ def main(argv=None):
 
         frames = make_demo_frames(64, (args.crop * 2, args.crop * 2))
 
-    params, apply_clip = build_model(args.model, args.scale)
+    params, apply_clip = build_model(args.model, args.scale, dim=args.dim,
+                                     layers=args.layers)
     optimizer = make_optimizer(lr=args.lr)
     mesh = make_mesh(args.mesh_data, args.mesh_time, args.mesh_space)
     init_state, train_step, shard_batch = make_train_step(
