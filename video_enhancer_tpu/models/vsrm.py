@@ -113,7 +113,8 @@ def _temporal_mix(blk, x, heads):
     attn = attention_ref(mh(q), mh(k), mh(v))
     attn = attn.transpose(0, 2, 1, 3).reshape(seq.shape[0], t, c)
     seq = seq + nn.dense_apply(blk["attn_out"], attn)
-    seq = seq + bimamba_apply(blk["temporal_ssm"], seq, impl="ref")
+    # auto impl: fused short-scan kernel on TPU (B = B*H*W is huge here).
+    seq = seq + bimamba_apply(blk["temporal_ssm"], seq)
     return seq.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
 

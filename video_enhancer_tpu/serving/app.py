@@ -155,6 +155,15 @@ class ApiServer:
                 # Post experts requested via the API (reference toggles,
                 # process_endpoints.py:115-158): best-effort.
                 try:
+                    if job.get("enable_temporal_smoothing"):
+                        self.jobs.update(job_id, progress=0.8,
+                                         stage="temporal_smoothing")
+                        from ..runtime.pipeline import (
+                            _apply_temporal_smoothing,
+                        )
+
+                        _apply_temporal_smoothing(job["output_path"])
+                        post["temporal_smoothing"] = True
                     if job.get("enable_face_expert"):
                         self.jobs.update(job_id, progress=0.85,
                                          stage="face_restoration")
@@ -390,6 +399,9 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
             "enable_face_expert": form.get("enable_face_expert", "")
             .lower() in ("1", "true", "yes"),
             "enable_hfr": form.get("enable_hfr", "").lower()
+            in ("1", "true", "yes"),
+            "enable_temporal_smoothing":
+            form.get("enable_temporal_smoothing", "").lower()
             in ("1", "true", "yes"),
             "output_codec": form.get("output_codec", "mp4v"),
             "progress": 0.0,
