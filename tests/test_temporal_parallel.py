@@ -194,3 +194,41 @@ def test_spatial_sharding_validates(cpu_mesh_devices):
     fn = make_spatially_sharded_clip_fn(lambda p, c: c, mesh, halo=4)
     with pytest.raises(ValueError, match="not divisible"):
         fn({}, jnp.zeros((1, 2, 30, 8, 3)))
+
+
+def test_handler_uses_policy_mesh(cpu_mesh_devices, tmp_path, monkeypatch):
+    """A policy with mesh time=2,space=2 routes handler clips through the
+    sharded path, matching the single-device result."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.config import load_policy
+    from video_enhancer_tpu.runtime.registry import _build, clear_cache
+
+    policy_yaml = tmp_path / "policy.yaml"
+    import pathlib
+
+    base = pathlib.Path(
+        "video_enhancer_tpu/config/policy_v1.yaml").read_text()
+    policy_yaml.write_text(
+        base.replace("mesh:\n  data: 1\n  time: 1\n  space: 1",
+                     "mesh:\n  data: 1\n  time: 2\n  space: 2"))
+    policy = load_policy(policy_yaml)
+    assert policy.mesh.num_devices == 4
+
+    clear_cache()
+    h = _build("fast_mamba_vsr", policy, seed=0)
+    assert h.mesh is not None
+    clip = jnp.asarray(
+        np.random.default_rng(0).random((4, 32, 16, 3), np.float32)
+    )
+    out_sharded = np.asarray(h.process_clip(clip))
+    # single-device comparison
+    h._sharded = None
+    out_local = np.asarray(h.process_clip(clip))
+    assert out_sharded.shape == out_local.shape
+    # With TRAINED bundled weights the temporal halo is an approximation
+    # (same class as the reference's chunk-overlap); bound the deviation.
+    err = np.abs(out_sharded - out_local).mean()
+    assert err < 0.05, err
+    clear_cache()

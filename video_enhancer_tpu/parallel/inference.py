@@ -19,7 +19,58 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .temporal import halo_exchange_time
 
-__all__ = ["make_sharded_clip_fn"]
+__all__ = ["make_sharded_clip_fn", "make_mesh_sharded_clip_fn"]
+
+
+def make_mesh_sharded_clip_fn(apply_fn, mesh: Mesh, halo_t: int = 2,
+                              halo_s: int = 8, scale: int = 1):
+    """Fully mesh-sharded clip inference: B over ``data``, T over ``time``
+    (frame halos), H over ``space`` (row halos) — whichever axes the mesh
+    actually has (size-1 axes skip their halo exchange at trace time).
+
+    ``apply_fn(params, clip)`` preserves T and scales H/W by ``scale``.
+    """
+    from .spatial import halo_exchange_space
+
+    n_t = mesh.shape.get("time", 1)
+    n_s = mesh.shape.get("space", 1)
+    clip_spec = P("data", "time" if n_t > 1 else None,
+                  "space" if n_s > 1 else None, None, None)
+    rep = P()
+
+    def local(params, shard):
+        if n_t > 1:
+            shard = halo_exchange_time(shard, halo_t, axis_name="time")
+        if n_s > 1:
+            shard = halo_exchange_space(shard, halo_s, axis_name="space")
+        out = apply_fn(params, shard)
+        if n_s > 1:
+            tr = halo_s * scale
+            out = out[:, :, tr:out.shape[2] - tr]
+        if n_t > 1:
+            out = out[:, halo_t:out.shape[1] - halo_t]
+        return out
+
+    fn = shard_map(local, mesh=mesh, in_specs=(rep, clip_spec),
+                   out_specs=clip_spec)
+    run = jax.jit(fn)
+
+    def wrapper(params, clip):
+        b, t, h = clip.shape[0], clip.shape[1], clip.shape[2]
+        n_d = mesh.shape.get("data", 1)
+        if b % n_d or t % n_t or h % n_s:
+            raise ValueError(
+                f"clip (B={b}, T={t}, H={h}) not divisible by mesh "
+                f"(data={n_d}, time={n_t}, space={n_s})")
+        if n_t > 1 and t // n_t < halo_t:
+            raise ValueError(f"T shard {t // n_t} < halo {halo_t}")
+        if n_s > 1 and h // n_s < halo_s:
+            raise ValueError(f"H shard {h // n_s} < halo {halo_s}")
+        params_r = jax.device_put(params, NamedSharding(mesh, rep))
+        clip_s = jax.device_put(clip, NamedSharding(mesh, clip_spec))
+        return run(params_r, clip_s)
+
+    return wrapper
 
 
 def make_sharded_clip_fn(apply_fn, mesh: Mesh, halo: int = 2,

@@ -99,10 +99,23 @@ def _load_or_init(name: str, entry, init_fn, **kw):
     return params, meta
 
 
+def _serving_mesh(policy: Policy):
+    """Build the policy-configured inference mesh if devices allow."""
+    cfg = policy.mesh
+    if cfg.num_devices <= 1:
+        return None
+    if len(jax.devices()) < cfg.num_devices:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(data=cfg.data, time=cfg.time, space=cfg.space)
+
+
 def _build(name: str, policy: Policy, seed: int):
     from .vsr_handler import VSRHandler
 
     entry = policy.models.get(name)
+    mesh = _serving_mesh(policy)
 
     if name in ("cnn_upscaler", "bicubic"):
         from .upscaler_handler import CnnUpscalerHandler
@@ -130,7 +143,7 @@ def _build(name: str, policy: Policy, seed: int):
         return VSRHandler(
             name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
             scale=entry.scale, chunk=entry.chunk, overlap=entry.overlap,
-            tile=entry.tile, tile_overlap=entry.tile_overlap,
+            tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
         )
 
     if name == "vsrm":
@@ -144,7 +157,7 @@ def _build(name: str, policy: Policy, seed: int):
             name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
             scale=entry.scale, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
-            tile=entry.tile, tile_overlap=entry.tile_overlap,
+            tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
         )
 
     if name == "seedvr2":
@@ -161,6 +174,7 @@ def _build(name: str, policy: Policy, seed: int):
             # seedvr2_handler.py:506-550; threshold from policy extras).
             quality_threshold=float(entry.extra.get("quality_threshold",
                                                     0.85)),
+            mesh=mesh,
         )
 
     if name == "ditvr":
@@ -191,6 +205,7 @@ def _build(name: str, policy: Policy, seed: int):
                 "degradation_scores": jnp.zeros((3,), jnp.float32),
                 "degradation_type": jnp.zeros((), jnp.int32),
             },
+            mesh=mesh,
         )
 
     if name == "rvrt":
@@ -203,7 +218,7 @@ def _build(name: str, policy: Policy, seed: int):
             name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
             scale=entry.scale, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
-            tile=entry.tile, tile_overlap=entry.tile_overlap,
+            tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
         )
 
     if name == "realesrgan":
@@ -225,7 +240,7 @@ def _build(name: str, policy: Policy, seed: int):
         return VSRHandler(
             name, clip_apply, params, scale=entry.scale,
             chunk=4, overlap=0, tile=entry.tile,
-            tile_overlap=entry.tile_overlap,
+            tile_overlap=entry.tile_overlap, mesh=mesh,
         )
 
     raise KeyError(f"unknown model: {name}")

@@ -48,6 +48,7 @@ class VSRHandler:
         compute_dtype=jnp.bfloat16,
         context: dict | None = None,
         quality_threshold: float | None = None,
+        mesh=None,
     ):
         self.name = name
         self.scale = scale
@@ -72,6 +73,18 @@ class VSRHandler:
             lambda p, x, ctx: apply_fn(p, x.astype(compute_dtype), **ctx)
             .astype(jnp.float32)
         )
+        # Optional SPMD inference over a device mesh (T frame-halos, H
+        # row-halos — the distributed form of chunk/tile overlap).
+        self.mesh = mesh
+        self._sharded = None
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.inference import make_mesh_sharded_clip_fn
+
+            self._sharded = make_mesh_sharded_clip_fn(
+                lambda p, x: apply_fn(p, x.astype(compute_dtype),
+                                      **self.context).astype(jnp.float32),
+                mesh, halo_t=max(overlap, 1), halo_s=8, scale=scale,
+            )
 
     def update_context(self, **kw) -> None:
         for k, v in kw.items():
@@ -84,6 +97,14 @@ class VSRHandler:
     def process_clip(self, clip: jnp.ndarray) -> jnp.ndarray:
         """(T, H, W, 3) float32 -> (T, sH, sW, 3) float32, tiling if large."""
         t, h, w, _ = clip.shape
+        if self._sharded is not None:
+            n_t = self.mesh.shape.get("time", 1)
+            n_s = self.mesh.shape.get("space", 1)
+            divisible = (t % n_t == 0 and h % n_s == 0
+                         and (n_t == 1 or t // n_t >= max(self.overlap, 1))
+                         and (n_s == 1 or h // n_s >= 8))
+            if divisible:
+                return self._sharded(self.params, clip[None])[0]
         if max(h, w) <= self.tile:
             return self._fwd(self.params, clip[None], self.context)[0]
         return self._tiled(clip)
