@@ -232,3 +232,36 @@ def test_handler_uses_policy_mesh(cpu_mesh_devices, tmp_path, monkeypatch):
     err = np.abs(out_sharded - out_local).mean()
     assert err < 0.05, err
     clear_cache()
+
+
+def test_exact_sharded_fmv_matches_single_device(cpu_mesh_devices):
+    """The exact T-sharded FastMambaVSR must match unsharded output to
+    float tolerance (NOT the halo approximation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+    from video_enhancer_tpu.parallel.inference import make_exact_sharded_fmv
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    params, _ = fmv.init(jax.random.PRNGKey(3), dim=8, num_layers=2,
+                         scale=2)
+    # Give the zero-init heads live weights so the comparison is not
+    # trivially bicubic.
+    params["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(4), params["head"]["w"].shape) * 0.05
+    params["temporal"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(5), params["temporal"]["w"].shape) * 0.05
+
+    clip = jnp.asarray(
+        np.random.default_rng(2).random((1, 8, 16, 16, 3), np.float32)
+    )
+    ref = np.asarray(fmv.apply(params, clip, scale=2, scan_impl="ref"))
+
+    mesh = make_mesh(time=2)  # T_loc=4 >= conv halo 3
+    fn = make_exact_sharded_fmv(mesh, scale=2)
+    with mesh:
+        out = np.asarray(fn(params, clip))
+    assert out.shape == ref.shape
+    err = np.max(np.abs(out - ref))
+    assert err < 1e-4, err

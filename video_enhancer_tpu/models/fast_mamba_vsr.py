@@ -81,14 +81,21 @@ def init(key, dim: int = 48, num_layers: int = 8, scale: int = 4,
     return params, meta
 
 
-def _temporal_bimamba(p, x, impl=None):
+def _temporal_bimamba(p, x, impl=None, time_axis=None):
     """Apply bidirectional SSM along T for every spatial site.
 
-    (B, T, H, W, C) -> sequences (B*H*W, T, C) -> scan -> back.
+    (B, T, H, W, C) -> sequences (B*H*W, T, C) -> scan -> back. With
+    ``time_axis`` set (inside shard_map with T sharded on that mesh axis)
+    the scan is EXACT across shards (nn.ssm.bimamba_apply_sharded).
     """
     b, t, h, w, c = x.shape
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-    y = bimamba_apply(p, seq, impl=impl)
+    if time_axis is not None:
+        from ..nn.ssm import bimamba_apply_sharded
+
+        y = bimamba_apply_sharded(p, seq, axis_name=time_axis, impl=impl)
+    else:
+        y = bimamba_apply(p, seq, impl=impl)
     return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
 
@@ -111,8 +118,15 @@ def _multi_scale(params, feats):
 
 
 def apply(params, clip: jnp.ndarray, scale: int = 4,
-          scan_impl: str | None = None) -> jnp.ndarray:
-    """(B, T, H, W, 3) in [0,1] -> (B, T, scale*H, scale*W, 3)."""
+          scan_impl: str | None = None,
+          time_axis: str | None = None) -> jnp.ndarray:
+    """(B, T, H, W, 3) in [0,1] -> (B, T, scale*H, scale*W, 3).
+
+    ``time_axis``: name of a mesh axis the T dimension is sharded over
+    (call inside shard_map) — the temporal scans and the final temporal
+    conv then run EXACTLY across shards (prefix-combine + frame halos),
+    unlike halo-overlap approximation.
+    """
     x = clip
     feats = _sepconv3d_apply(params["embed1"], x)
     feats = jax.nn.silu(feats)
@@ -123,7 +137,8 @@ def apply(params, clip: jnp.ndarray, scale: int = 4,
     skip = feats
     for i, layer in enumerate(params["layers"]):
         h = nn.layer_norm_apply(layer["norm"], feats)
-        h = _temporal_bimamba(layer["bimamba"], h, impl=scan_impl)
+        h = _temporal_bimamba(layer["bimamba"], h, impl=scan_impl,
+                              time_axis=time_axis)
         feats = feats + h
         s = nn.conv3d_apply(layer["spatial_dw"], feats,
                             groups=feats.shape[-1])
@@ -143,5 +158,21 @@ def apply(params, clip: jnp.ndarray, scale: int = 4,
     out = base + res
     # 0.1-scaled temporal residual (reference EfficientUpsampler,
     # fast_mamba_vsr_handler.py:215-270).
-    out = out + 0.1 * nn.conv3d_apply(params["temporal"], out)
+    out = out + 0.1 * _temporal_conv(params["temporal"], out, time_axis)
     return jnp.clip(out, 0.0, 1.0)
+
+
+def _temporal_conv(p, out, time_axis):
+    """The (3,1,1) temporal conv; under T-sharding, exchange 1-frame halos
+    (zeroed at global edges to match the unsharded zero padding)."""
+    if time_axis is None:
+        return nn.conv3d_apply(p, out)
+    from ..parallel.temporal import halo_exchange_time
+
+    n = jax.lax.axis_size(time_axis)
+    idx = jax.lax.axis_index(time_axis)
+    oh = halo_exchange_time(out, 1, axis_name=time_axis)
+    oh = oh.at[:, :1].multiply((idx != 0).astype(out.dtype))
+    oh = oh.at[:, -1:].multiply((idx != n - 1).astype(out.dtype))
+    conv = nn.conv3d_apply(p, oh)
+    return conv[:, 1:-1]

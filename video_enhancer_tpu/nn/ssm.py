@@ -24,7 +24,8 @@ from ..ops.conv import depthwise_conv1d
 from ..ops.scan import selective_scan
 from .core import dense_apply, dense_init
 
-__all__ = ["ssm_init", "ssm_apply", "bimamba_init", "bimamba_apply"]
+__all__ = ["ssm_init", "ssm_apply", "bimamba_init", "bimamba_apply",
+           "bimamba_apply_sharded"]
 
 
 def ssm_init(key, dim: int, state_dim: int = 16, expand: int = 2,
@@ -119,6 +120,50 @@ def bimamba_init(key, dim: int, **kw):
         "bwd": ssm_init(k2, dim, **kw),
         "fuse": dense_init(k3, 2 * dim, dim),
     }
+
+
+def bimamba_apply_sharded(p, x: jnp.ndarray, axis_name: str = "time",
+                          impl: str | None = None) -> jnp.ndarray:
+    """EXACT bidirectional bimamba over a sequence sharded across
+    ``axis_name`` (inside shard_map). x: local shard (B, L_loc, dim).
+
+    Two cross-shard couplings are handled: the depthwise conv's receptive
+    field (k-1 halo frames exchanged; halos zeroed at global sequence edges
+    to match the unsharded zero padding) and the scan state
+    (temporal_parallel_scan's prefix-combine).
+    """
+    from ..parallel.temporal import halo_exchange_time, temporal_parallel_scan
+
+    k = p["fwd"]["conv_w"].shape[0]
+    halo = k - 1
+    if x.shape[1] < halo:
+        raise ValueError(
+            f"local T shard ({x.shape[1]} frames) smaller than the conv "
+            f"halo ({halo}); use fewer time shards or longer clips")
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    xh = halo_exchange_time(x, halo, axis_name=axis_name)
+    # Zero halos at the global edges (the unsharded conv zero-pads there).
+    left_live = (idx != 0).astype(x.dtype)
+    right_live = (idx != n - 1).astype(x.dtype)
+    xh = xh.at[:, :halo].multiply(left_live)
+    xh = xh.at[:, -halo:].multiply(right_live)
+
+    def trim(a):
+        return a[:, halo:a.shape[1] - halo]
+
+    outs = []
+    for dname, reverse in (("fwd", False), ("bwd", True)):
+        u, gate, dt, Bm, Cm = _ssm_streams(p[dname], xh, reverse=reverse)
+        y = temporal_parallel_scan(
+            trim(u), trim(dt), -jnp.exp(p[dname]["A_log"]), trim(Bm),
+            trim(Cm), p[dname]["D"], axis_name=axis_name, impl=impl,
+            reverse=reverse,
+        )
+        y = y * jax.nn.silu(trim(gate))
+        outs.append(dense_apply(p[dname]["out_proj"], y))
+    return dense_apply(p["fuse"], jnp.concatenate(outs, axis=-1))
 
 
 def bimamba_apply(p, x: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:

@@ -19,7 +19,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .temporal import halo_exchange_time
 
-__all__ = ["make_sharded_clip_fn", "make_mesh_sharded_clip_fn"]
+__all__ = ["make_sharded_clip_fn", "make_mesh_sharded_clip_fn",
+           "make_exact_sharded_fmv"]
+
+
+def make_exact_sharded_fmv(mesh: Mesh, scale: int = 4,
+                           time_axis: str = "time"):
+    """EXACT T-sharded FastMambaVSR inference: every temporal scan uses the
+    distributed prefix-combine and the temporal convs exchange true frame
+    halos — the sharded output equals the single-device output bit-for-bit
+    (up to reduction order), unlike the halo-overlap approximation.
+
+    Returns ``fn(params, clip)`` with clip (B, T, H, W, 3), T divisible by
+    the time-axis size.
+    """
+    from ..models import fast_mamba_vsr as fmv
+
+    clip_spec = P(None, time_axis, None, None, None)
+    rep = P()
+
+    def local(params, shard):
+        return fmv.apply(params, shard, scale=scale, scan_impl="ref",
+                         time_axis=time_axis)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(rep, clip_spec),
+                   out_specs=clip_spec)
+    run = jax.jit(fn)
+
+    def wrapper(params, clip):
+        n_t = mesh.shape[time_axis]
+        if clip.shape[1] % n_t:
+            raise ValueError(
+                f"T={clip.shape[1]} not divisible by time axis {n_t}")
+        params_r = jax.device_put(params, NamedSharding(mesh, rep))
+        clip_s = jax.device_put(clip, NamedSharding(mesh, clip_spec))
+        return run(params_r, clip_s)
+
+    return wrapper
 
 
 def make_mesh_sharded_clip_fn(apply_fn, mesh: Mesh, halo_t: int = 2,

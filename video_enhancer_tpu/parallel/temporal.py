@@ -61,19 +61,22 @@ def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str = "time"):
 
 
 def temporal_parallel_scan(x, dt, A, Bmat, C, D, axis_name: str = "time",
-                           impl: str | None = None):
+                           impl: str | None = None, reverse: bool = False):
     """Exact distributed selective scan over a T-sharded sequence.
 
     Args are local shards: x, dt ``(B, L_loc, D)``; Bmat, C ``(B, L_loc, N)``;
-    A ``(D, N)``, D ``(Dd,)`` replicated. Returns local y shard + global
-    final state.
+    A ``(D, N)``, D ``(Dd,)`` replicated. ``reverse=True`` scans the global
+    sequence back-to-front (local flips + reversed shard prefix order).
+    Returns the local y shard in natural order.
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
+    if reverse:
+        x, dt, Bmat, C = (jnp.flip(a, axis=1) for a in (x, dt, Bmat, C))
+
     # Pass 1: local scan from zero state. The zeros must be marked as
-    # device-varying (pvary) so lax.scan's carry typing matches inside
-    # shard_map.
+    # device-varying so lax.scan's carry typing matches inside shard_map.
     B_, _, Dd = x.shape
     N = A.shape[1]
     h0 = jax.lax.pcast(jnp.zeros((B_, Dd, N), jnp.float32), (axis_name,),
@@ -87,6 +90,10 @@ def temporal_parallel_scan(x, dt, A, Bmat, C, D, axis_name: str = "time",
     # All-gather summaries and prefix-combine (K is tiny: the mesh axis).
     a_all = jax.lax.all_gather(a_tot, axis_name)              # (K, B, D, N)
     h_all = jax.lax.all_gather(h_local, axis_name)            # (K, B, D, N)
+    if reverse:
+        # Prefix runs from the LAST shard toward the first.
+        a_all = jnp.flip(a_all, axis=0)
+        h_all = jnp.flip(h_all, axis=0)
 
     def combine(carry, pair):
         a_k, h_k = pair
@@ -95,11 +102,14 @@ def temporal_parallel_scan(x, dt, A, Bmat, C, D, axis_name: str = "time",
 
     _, carries = jax.lax.scan(combine, jnp.zeros_like(h_local),
                               (a_all, h_all))
-    # carries[k] = state entering shard k (exclusive prefix).
-    h_in = carries[idx]
+    # carries[k] = state entering shard k (exclusive prefix, scan order).
+    my_pos = (n - 1 - idx) if reverse else idx
+    h_in = carries[my_pos]
 
     # Pass 2: local scan with the true incoming state.
     y, _ = selective_scan(x, dt, A, Bmat, C, D, h0=h_in, impl=impl)
+    if reverse:
+        y = jnp.flip(y, axis=1)
     return y
 
 
