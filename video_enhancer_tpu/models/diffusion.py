@@ -23,7 +23,8 @@ from ..nn.core import sinusoidal_embedding
 from ..ops.attention import attention
 from ..ops.conv import conv_transpose3d
 
-__all__ = ["NoiseSchedule", "make_schedule", "unet_init", "unet_apply"]
+__all__ = ["NoiseSchedule", "make_schedule", "unet_init", "unet_apply",
+           "sample_loop"]
 
 
 # ---------------------------------------------------------------------------
@@ -62,12 +63,15 @@ class NoiseSchedule:
         return jnp.sqrt(a) * sample - jnp.sqrt(1.0 - a) * model_out
 
     def step(self, model_out, t, t_prev, sample):
-        """One DDPM ancestral step t -> t_prev (deterministic, eta=0)."""
+        """One DDIM-style step t -> t_prev (deterministic, eta=0)."""
         x0 = self.pred_x0(sample, model_out, t)
         a_prev = jnp.where(
             t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0
         ).astype(sample.dtype)
         a = self.alphas_cumprod[t].astype(sample.dtype)
+        while a.ndim < sample.ndim:
+            a = a[..., None]
+            a_prev = a_prev[..., None]
         eps = (sample - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
         return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
 
@@ -93,6 +97,37 @@ def make_schedule(num_timesteps: int = 1000, schedule: str = "cosine",
         num_train_timesteps=num_timesteps,
         prediction_type=prediction_type,
     )
+
+
+def sample_loop(params, cond: jnp.ndarray, sched: NoiseSchedule,
+                num_steps: int = 20, start_t: int | None = None,
+                seed: int = 0, t_dim: int = 128):
+    """Multi-step DDPM restoration (the reference scheduler's set_timesteps
+    + step loop, noise_scheduler.py:147-233; the one-step t=500 path in
+    models/seedvr2.py is the production default).
+
+    cond: the clean/degraded conditioning clip (B, T, H, W, 3) in [-1, 1];
+    the UNet input is [cond, sample] (6 channels). Returns x0 in [-1, 1].
+    """
+    start_t = start_t or (sched.num_train_timesteps // 2)
+    # Evenly spaced timesteps start_t -> 0 (reference set_timesteps).
+    ts = jnp.linspace(start_t, 0, num_steps + 1).astype(jnp.int32)
+
+    b = cond.shape[0]
+    noise = jax.random.normal(jax.random.PRNGKey(seed), cond.shape,
+                              cond.dtype)
+    t0 = jnp.full((b,), start_t, jnp.int32)
+    sample = sched.add_noise(cond, noise, t0)
+
+    def body(i, sample):
+        t = jnp.full((b,), ts[i], jnp.int32)
+        t_prev = jnp.full((b,), ts[i + 1], jnp.int32)
+        model_in = jnp.concatenate([cond, sample], axis=-1)
+        eps = unet_apply(params, model_in, t, t_dim=t_dim)
+        return sched.step(eps.astype(jnp.float32), t, t_prev, sample)
+
+    sample = jax.lax.fori_loop(0, num_steps, body, sample)
+    return sample
 
 
 # ---------------------------------------------------------------------------

@@ -110,8 +110,13 @@ def init(key, base_channels: int = 32, channel_mult=(1, 2, 4),
 
 
 def apply(params, clip: jnp.ndarray, seed: int = 0,
-          heads: int = 4) -> jnp.ndarray:
-    """(B, T, H, W, 3) in [0,1] -> restored clip, same shape."""
+          heads: int = 4, num_steps: int = 1) -> jnp.ndarray:
+    """(B, T, H, W, 3) in [0,1] -> restored clip, same shape.
+
+    ``num_steps > 1`` runs the full DDIM loop (diffusion.sample_loop) from
+    the quality-conditioned start timestep instead of the production
+    one-step restoration.
+    """
     b = clip.shape[0]
     sched = make_schedule()
 
@@ -136,12 +141,18 @@ def apply(params, clip: jnp.ndarray, seed: int = 0,
         jnp.int32
     )
 
-    noise = jax.random.normal(jax.random.PRNGKey(seed), x.shape, x.dtype)
-    noisy = sched.add_noise(x, noise, t)
+    if num_steps > 1:
+        from .diffusion import sample_loop
 
-    model_in = jnp.concatenate([x, noisy], axis=-1)  # (B,T,H,W,6)
-    eps = unet_apply(params["unet"], model_in, t)
-    x0 = sched.pred_x0(noisy, eps.astype(jnp.float32), t)
+        x0 = sample_loop(params["unet"], x, sched, num_steps=num_steps,
+                         start_t=FIXED_T, seed=seed)
+    else:
+        noise = jax.random.normal(jax.random.PRNGKey(seed), x.shape, x.dtype)
+        noisy = sched.add_noise(x, noise, t)
+
+        model_in = jnp.concatenate([x, noisy], axis=-1)  # (B,T,H,W,6)
+        eps = unet_apply(params["unet"], model_in, t)
+        x0 = sched.pred_x0(noisy, eps.astype(jnp.float32), t)
 
     restored = (x0 + 1.0) / 2.0
     restored = _tc_apply(params["tc"], restored.astype(clip.dtype), heads)
