@@ -420,6 +420,39 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
             "stages": plan["stages"],
         }, status=202)
 
+    @r.post("/api/v1/demo")
+    def run_demo(req):
+        """Generate a synthetic demo video and queue it for enhancement
+        (reference demo runner, app.py:1487-1576)."""
+        try:
+            body = req.json() if req.body else {}
+        except Exception:
+            body = {}
+        from ..io.demo import write_demo_video
+
+        job_id = uuid.uuid4().hex
+        in_path = srv.data_dir / "uploads" / f"{job_id}_demo.mp4"
+        write_demo_video(in_path, frames=int(body.get("frames", 24)),
+                         size_hw=(240, 320))
+        out_path = srv.data_dir / "outputs" / f"enhanced_{job_id}.mp4"
+        strategy = body.get("strategy", "cnn_upscaler")
+        srv.jobs.create({
+            "status": JobStatus.QUEUED,
+            "client": "demo",
+            "filename": "demo.mp4",
+            "input_path": str(in_path),
+            "output_path": str(out_path),
+            "strategy": strategy,
+            "model": strategy,
+            "quality": "balanced",
+            "latency_class": "standard",
+            "progress": 0.0,
+            "stage": "queued",
+        }, job_id=job_id)
+        srv._submit(job_id)
+        return Response({"job_id": job_id, "status": "queued",
+                         "strategy": strategy}, status=202)
+
     @r.get("/api/v1/job/{job_id}")
     def job_status(req):
         job = srv.jobs.get(req.path_params["job_id"])

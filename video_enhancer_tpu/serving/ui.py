@@ -55,6 +55,7 @@ UI_HTML = """<!DOCTYPE html>
       <option>standard</option><option>strict</option><option>flexible</option>
     </select>
     <button id="go" onclick="submitJob()">Enhance</button>
+    <button onclick="runDemo()" style="background:#9ece6a">Run demo</button>
     <div id="msg"></div>
   </div>
   <div class="card">
@@ -115,6 +116,16 @@ async function refreshJobs() {
             + '\\');return false">eval</a>'
           : '') + '</td>';
   }
+}
+async function runDemo() {
+  const eng = document.getElementById('engine').value || 'cnn_upscaler';
+  const r = await fetch('/api/v1/demo', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({strategy: eng})});
+  const d = await r.json();
+  document.getElementById('msg').textContent =
+    r.ok ? ('demo queued: ' + d.job_id) : 'demo failed';
+  refreshJobs();
 }
 async function evalJob(id) {
   await fetch('/api/v1/job/' + id + '/evaluate', {method: 'POST'});
