@@ -54,6 +54,12 @@ def unflatten_into(template, flat: dict[str, np.ndarray]):
     out = fill(template)
     log.info("checkpoint: matched %d keys, kept init for %d",
              len(matched), len(skipped))
+    total = len(matched) + len(skipped)
+    if flat and total and len(matched) < total / 2:
+        log.warning(
+            "checkpoint: only %d/%d target leaves matched — checkpoint is "
+            "likely for a different architecture/size (unmatched e.g. %s)",
+            len(matched), total, skipped[:5])
     return out, matched, skipped
 
 
@@ -68,8 +74,10 @@ def convert_torch_state_dict(state_dict) -> dict[str, np.ndarray]:
     """Map a torch state_dict to our flat naming/layout conventions.
 
     Linear ``weight (out,in)`` -> ``w (in,out)``; ConvNd ``weight
-    (out,in,*k)`` -> ``w (*k,in,out)``; ``bias`` -> ``b``; norm
-    ``weight/bias`` -> ``scale``/``bias``.
+    (out,in,*k)`` -> ``w (*k,in,out)`` (Conv1d included); ``bias`` is
+    emitted under BOTH ``b`` (dense/conv) and ``bias`` (norm) since the
+    lenient loader matches by key+shape; 1-D ``weight`` likewise under both
+    ``scale`` and ``w``.
     """
     flat = {}
     for name, t in state_dict.items():
@@ -78,16 +86,20 @@ def convert_torch_state_dict(state_dict) -> dict[str, np.ndarray]:
         if leaf == "weight":
             if arr.ndim == 2:
                 flat[f"{base}.w"] = arr.T
+            elif arr.ndim == 3:  # Conv1d (out,in,k) — e.g. Mamba depthwise
+                flat[f"{base}.w"] = arr.transpose(2, 1, 0)
             elif arr.ndim == 4:
                 flat[f"{base}.w"] = arr.transpose(2, 3, 1, 0)
             elif arr.ndim == 5:
                 flat[f"{base}.w"] = arr.transpose(2, 3, 4, 1, 0)
             elif arr.ndim == 1:
                 flat[f"{base}.scale"] = arr
+                flat[f"{base}.w"] = arr
             else:
                 flat[f"{base}.w"] = arr
         elif leaf == "bias":
             flat[f"{base}.b"] = arr
+            flat[f"{base}.bias"] = arr
         else:
             flat[name] = arr
     return flat

@@ -238,6 +238,26 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
 
     r.middleware.append(auth_mw)
 
+    def _identity(req) -> tuple[str, bool]:
+        """(owner identity, is_admin). Authenticated keys are identified by
+        key name; anonymous clients by IP, so API keys give data isolation
+        and anonymous users don't share one bucket."""
+        user = getattr(req, "user", None) or {}
+        name = user.get("name") or "anonymous"
+        ident = req.client if name == "anonymous" else name
+        return ident, user.get("role") == "admin"
+
+    def _owned_job(req):
+        """Job record if it exists AND the requester may access it, else
+        None (404 — existence is not leaked to non-owners)."""
+        job = srv.jobs.get(req.path_params["job_id"])
+        if job is None:
+            return None
+        ident, is_admin = _identity(req)
+        if is_admin or job.get("client") in (ident, None, ""):
+            return job
+        return None
+
     # -- root/health/metrics (reference api/main.py:294-510) ----------------
     @r.get("/")
     def root(req):
@@ -360,7 +380,7 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
 
         # Daily quota per client (reference user-quota gating,
         # app.py:1124-1172; keyed on API key name or client IP here).
-        quota_key = getattr(req, "user", {}).get("name", req.client)
+        quota_key, _ = _identity(req)
         daily_quota = int(getattr(req, "user", {}).get("daily_quota", 200))
         used = srv.jobs.count_since(24 * 3600, client=quota_key)
         if used >= daily_quota:
@@ -438,7 +458,7 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
         strategy = body.get("strategy", "cnn_upscaler")
         srv.jobs.create({
             "status": JobStatus.QUEUED,
-            "client": "demo",
+            "client": _identity(req)[0],
             "filename": "demo.mp4",
             "input_path": str(in_path),
             "output_path": str(out_path),
@@ -455,7 +475,7 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
 
     @r.get("/api/v1/job/{job_id}")
     def job_status(req):
-        job = srv.jobs.get(req.path_params["job_id"])
+        job = _owned_job(req)
         if job is None:
             return Response({"error": {"code": "API_404",
                                        "message": "job not found"}}, 404)
@@ -465,7 +485,7 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
 
     @r.get("/api/v1/job/{job_id}/download")
     def job_download(req):
-        job = srv.jobs.get(req.path_params["job_id"])
+        job = _owned_job(req)
         if job is None:
             return Response({"error": {"code": "API_404",
                                        "message": "job not found"}}, 404)
@@ -485,7 +505,7 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     def job_evaluate(req):
         """PSNR/SSIM/temporal-consistency of a job's output vs its input
         (reference _evaluate_psnr_ssim, app.py:1579-1602)."""
-        job = srv.jobs.get(req.path_params["job_id"])
+        job = _owned_job(req)
         if job is None:
             return Response({"error": {"code": "API_404",
                                        "message": "job not found"}}, 404)
@@ -515,15 +535,17 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     def jobs_list(req):
         status = req.query.get("status")
         limit = int(req.query.get("limit", 50))
+        ident, is_admin = _identity(req)
         return Response({"jobs": [
             {k: v for k, v in j.items() if k not in ("input_path",)}
             for j in srv.jobs.list(status=status, limit=limit)
+            if is_admin or j.get("client") in (ident, None, "")
         ]})
 
     @r.delete("/api/v1/job/{job_id}")
     def job_delete(req):
         job_id = req.path_params["job_id"]
-        job = srv.jobs.get(job_id)
+        job = _owned_job(req)
         if job is None:
             return Response({"error": {"code": "API_404",
                                        "message": "job not found"}}, 404)
@@ -547,7 +569,14 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     @r.post("/api/v1/admin/keys")
     def admin_create_key(req):
         if not srv.auth.list_keys():
-            pass  # bootstrap: first key may be created unauthenticated
+            # Bootstrap: the first key may be created unauthenticated, but
+            # only from localhost — a remote client must never be able to
+            # mint the initial admin key by winning a race.
+            if req.client not in ("127.0.0.1", "::1", "localhost", ""):
+                return Response({"error": {
+                    "code": "SEC_403",
+                    "message": "bootstrap key creation is localhost-only"}},
+                    403)
         elif _require_admin(req) is None:
             return Response({"error": {"code": "SEC_403",
                                        "message": "admin required"}}, 403)

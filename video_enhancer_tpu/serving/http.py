@@ -3,13 +3,16 @@
 Features used by the API surface: path parameters (``/job/{id}``), JSON
 bodies, multipart/form-data file uploads, query strings, per-request timing
 header (the reference adds X-Process-Time middleware, api/main.py:152-175),
-and structured error responses.
+CORS + GZip middleware (reference api/main.py:139-149), an early
+Content-Length cap (bodies larger than ``Router.max_body`` are rejected with
+413 *before* being buffered), and structured error responses.
 """
 
 from __future__ import annotations
 
 import email
 import email.policy
+import gzip
 import json
 import re
 import threading
@@ -82,7 +85,20 @@ class Response:
             self.headers["Content-Type"] = content_type
 
 
+CORS_HEADERS = {
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "GET, POST, PUT, DELETE, OPTIONS",
+    "Access-Control-Allow-Headers": "Content-Type, X-API-Key",
+}
+GZIP_MIN_BYTES = 512
+GZIP_TYPES = ("application/json", "text/")
+
+
 class Router:
+    # Largest acceptable request body: the 500MB upload cap plus multipart
+    # framing overhead. Checked against Content-Length before reading.
+    max_body = 500 * 1024 * 1024 + 64 * 1024
+
     def __init__(self):
         self.routes: list[tuple[str, re.Pattern, Callable]] = []
         self.middleware: list[Callable] = []
@@ -141,6 +157,23 @@ def serve(router: Router, host: str = "0.0.0.0", port: int = 8000,
         def log_message(self, *args):
             pass
 
+        def _send(self, resp: Response, t0: float, accept_encoding: str = ""):
+            data = resp.data
+            ctype = resp.headers.get("Content-Type", "")
+            if ("gzip" in accept_encoding and len(data) >= GZIP_MIN_BYTES
+                    and ctype.startswith(GZIP_TYPES)
+                    and "Content-Encoding" not in resp.headers):
+                data = gzip.compress(data, compresslevel=5)
+                resp.headers["Content-Encoding"] = "gzip"
+            self.send_response(resp.status)
+            resp.headers.update(CORS_HEADERS)
+            resp.headers["X-Process-Time"] = f"{time.time() - t0:.4f}"
+            resp.headers["Content-Length"] = str(len(data))
+            for k, v in resp.headers.items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(data)
+
         def _handle(self):
             t0 = time.time()
             parsed = urllib.parse.urlparse(self.path)
@@ -149,6 +182,15 @@ def serve(router: Router, host: str = "0.0.0.0", port: int = 8000,
                 for k, v in urllib.parse.parse_qs(parsed.query).items()
             }
             length = int(self.headers.get("Content-Length") or 0)
+            if length > router.max_body:
+                # Reject oversized bodies before buffering them (the upload
+                # size cap must not be a post-hoc check on a fully-read body).
+                self.close_connection = True
+                self._send(Response({"error": {
+                    "code": "VAL_413",
+                    "message": f"request body too large "
+                               f"({length} > {router.max_body})"}}, 413), t0)
+                return
             body = self.rfile.read(length) if length else b""
             req = Request(
                 method=self.command,
@@ -159,13 +201,11 @@ def serve(router: Router, host: str = "0.0.0.0", port: int = 8000,
                 client=self.client_address[0],
             )
             resp = router.dispatch(req)
-            self.send_response(resp.status)
-            resp.headers["X-Process-Time"] = f"{time.time() - t0:.4f}"
-            resp.headers["Content-Length"] = str(len(resp.data))
-            for k, v in resp.headers.items():
-                self.send_header(k, v)
-            self.end_headers()
-            self.wfile.write(resp.data)
+            self._send(resp, t0,
+                       self.headers.get("Accept-Encoding", "").lower())
+
+        def do_OPTIONS(self):
+            self._send(Response(None, status=204), time.time())
 
         do_GET = do_POST = do_DELETE = do_PUT = _handle
 

@@ -31,13 +31,14 @@ class RateLimiter:
         self._hits: dict[str, collections.deque] = {}
         self._lock = threading.Lock()
 
-    def allow(self, key: str) -> bool:
+    def allow(self, key: str, max_requests: int | None = None) -> bool:
+        limit = self.max_requests if max_requests is None else max_requests
         now = time.time()
         with self._lock:
             dq = self._hits.setdefault(key, collections.deque())
             while dq and dq[0] < now - self.window:
                 dq.popleft()
-            if len(dq) >= self.max_requests:
+            if len(dq) >= limit:
                 return False
             dq.append(now)
             return True
@@ -132,5 +133,10 @@ class AuthManager:
         return None
 
     def check_rate(self, record: dict, ip: str) -> bool:
-        key = record.get("name", ip)
-        return self.rate_limiter.allow(key)
+        """Enforce the record's own rate_limit; anonymous users are keyed
+        by client IP so one anonymous client cannot exhaust the bucket for
+        everyone."""
+        name = record.get("name", "")
+        key = f"ip:{ip}" if name in ("", "anonymous") else f"key:{name}"
+        limit = int(record.get("rate_limit", 60))
+        return self.rate_limiter.allow(key, max_requests=limit)
