@@ -8,7 +8,9 @@ models/backbones/mamba/ea_mamba_blocks.py). The two pathologies called out in
 SURVEY.md §7 are re-expressed natively:
 
 - the sequential Python-loop selective scan (ea_mamba_blocks.py:120-147)
-  becomes the Pallas scan over the flattened spatial raster (L = H*W);
+  becomes the SSD chunked-matmul scan (ops/ssd.py) over the flattened
+  spatial raster (L = H*W) — scalar-per-head decays so the MXU does the
+  work instead of a VPU elementwise scan;
 - the per-pixel (H x W Python loop) temporal module
   (ea_mamba_blocks.py:260-276) becomes ONE batched temporal attention with
   batch = B*H*W and sequence = T, plus a bidirectional temporal SSM.
@@ -24,9 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..nn.ssm import bimamba_apply, bimamba_init
+from ..nn.ssm import bimamba_apply, bimamba_init, bissd_apply, bissd_init
 from ..ops import pixel_shuffle, resize
-from ..ops.attention import attention_ref
 from ..ops.warp import flow_warp
 
 __all__ = ["init", "apply", "default_config"]
@@ -41,13 +42,17 @@ def _block_init(key, dim, state_dim, heads):
     ks = jax.random.split(key, 8)
     return {
         "spatial_norm": nn.layer_norm_init(dim),
-        "spatial_ssm": bimamba_init(ks[0], dim, state_dim=state_dim),
+        # Long-L raster scan -> bidirectional Mamba-2/SSD (matmul form,
+        # MXU-bound; shared projections, direction-specific decays).
+        "spatial_ssm": bissd_init(ks[0], dim,
+                                  state_dim=2 * state_dim, head_dim=64),
         "temporal_norm": nn.layer_norm_init(dim),
         "qkv": nn.dense_init(ks[1], dim, 3 * dim, bias=False),
         "attn_out": nn.dense_init(ks[2], dim, dim),
-        # Temporal scans run at per-pixel batch; N=8 keeps state HBM traffic
-        # half of the spatial scan's (which keeps the full state_dim).
-        "temporal_ssm": bimamba_init(ks[3], dim, state_dim=min(state_dim, 8)),
+        # Temporal scans run at per-pixel batch; N=4 keeps the exp-heavy
+        # per-step state update cheap (the fused short kernel is
+        # transcendental-bound at this batch).
+        "temporal_ssm": bimamba_init(ks[3], dim, state_dim=min(state_dim, 4)),
         "mlp_norm": nn.layer_norm_init(dim),
         "mlp": nn.mlp_init(ks[4], dim, dim * 2),
     }
@@ -76,42 +81,40 @@ def init(key, dim: int = 64, num_blocks: int = 6, scale: int = 4,
 
 
 def _spatial_ssm(p, x, impl, mode: str = "raster"):
-    """Bidirectional spatial scan of each frame.
-
-    ``raster`` (default): one flattened H*W scan through the L-streamed
-    Pallas kernel (the reference's sequence order,
-    ea_mamba_blocks.py:120-147). ``axial``: rows then columns — measured
-    SLOWER on v5e (715 vs 452 ms for the 6-block model at 180p: the doubled
-    in/out projections outweigh the better scan shapes), kept as an option
-    for experimentation.
+    """Bidirectional spatial scan of each frame: one flattened H*W raster
+    sequence (the reference's order, ea_mamba_blocks.py:120-147) through
+    the SSD chunked-matmul scan. An axial (rows + columns) Mamba-1 variant
+    was measured SLOWER on v5e (715 vs 452 ms at 180p — doubled projections
+    dominate) and was dropped when the mixer moved to SSD.
     """
     b, t, h, w, c = x.shape
-    if mode == "raster":
-        seq = x.reshape(b * t, h * w, c)
-        y = bimamba_apply(p, seq, impl=impl)
-        return y.reshape(b, t, h, w, c)
-    # rows: (B*T*H, W, C)
-    rows = x.reshape(b * t * h, w, c)
-    y = bimamba_apply(p, rows, impl=impl).reshape(b, t, h, w, c)
-    # columns: (B*T*W, H, C)
-    cols = y.transpose(0, 1, 3, 2, 4).reshape(b * t * w, h, c)
-    y = bimamba_apply(p, cols, impl=impl)
-    return y.reshape(b, t, w, h, c).transpose(0, 1, 3, 2, 4)
+    seq = x.reshape(b * t, h * w, c)
+    y = bissd_apply(p, seq)
+    return y.reshape(b, t, h, w, c)
 
 
 def _temporal_mix(blk, x, heads):
-    """Batched temporal attention + temporal SSM over every spatial site."""
+    """Batched temporal attention + temporal SSM over every spatial site.
+
+    T is tiny (a chunk of frames), so the attention is computed in a fully
+    elementwise broadcast form that keeps C as the lane (minor) dimension:
+    per-head matmul layouts put (T, dh) = (7, 16) in the native 8x128 tile,
+    which was measured ~10x slower than this formulation on v5e.
+    """
     b, t, h, w, c = x.shape
+    dh = c // heads
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+    n = seq.shape[0]
 
     qkv = nn.dense_apply(blk["qkv"], seq)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def mh(z):  # (BHW, T, C) -> (BHW, heads, T, C//heads)
-        return z.reshape(z.shape[0], t, heads, c // heads).transpose(0, 2, 1, 3)
-
-    attn = attention_ref(mh(q), mh(k), mh(v))
-    attn = attn.transpose(0, 2, 1, 3).reshape(seq.shape[0], t, c)
+    # scores[n,q,k,h] = sum_d q[n,q,(h,d)] * k[n,k,(h,d)]
+    prod = (q[:, :, None, :] * k[:, None, :, :]).reshape(n, t, t, heads, dh)
+    scores = prod.sum(-1).astype(jnp.float32)            # (N,T,T,h)
+    probs = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(dh)),
+                           axis=2).astype(v.dtype)
+    pc = jnp.repeat(probs, dh, axis=-1)                  # (N,T,T,C)
+    attn = (pc * v[:, None, :, :]).sum(axis=2)           # (N,T,C)
     seq = seq + nn.dense_apply(blk["attn_out"], attn)
     # auto impl: fused short-scan kernel on TPU (B = B*H*W is huge here).
     seq = seq + bimamba_apply(blk["temporal_ssm"], seq)

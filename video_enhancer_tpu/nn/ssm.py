@@ -25,7 +25,8 @@ from ..ops.scan import selective_scan
 from .core import dense_apply, dense_init
 
 __all__ = ["ssm_init", "ssm_apply", "bimamba_init", "bimamba_apply",
-           "bimamba_apply_sharded"]
+           "bimamba_apply_sharded", "mamba2_init", "mamba2_apply",
+           "bimamba2_init", "bimamba2_apply", "bissd_init", "bissd_apply"]
 
 
 def ssm_init(key, dim: int, state_dim: int = 16, expand: int = 2,
@@ -164,6 +165,188 @@ def bimamba_apply_sharded(p, x: jnp.ndarray, axis_name: str = "time",
         y = y * jax.nn.silu(trim(gate))
         outs.append(dense_apply(p[dname]["out_proj"], y))
     return dense_apply(p["fuse"], jnp.concatenate(outs, axis=-1))
+
+
+def mamba2_init(key, dim: int, state_dim: int = 32, expand: int = 2,
+                head_dim: int = 64, conv_kernel: int = 4):
+    """Mamba-2 (SSD) layer: scalar-per-head decay so the scan runs in the
+    chunked matmul form (ops/ssd.py) on the MXU. Used for LONG sequences
+    (the VSRM spatial raster, L = H*W) where the per-(d,n)-decay Mamba-1
+    scan is VPU-bound.
+
+    in_proj -> (gate z, values x, shared B, shared C, per-head dt);
+    causal depthwise conv over (x, B, C); SSD scan; gated RMS norm;
+    out_proj.
+    """
+    inner = dim * expand
+    if inner % head_dim:
+        head_dim = inner  # tiny dims: one head
+    heads = inner // head_dim
+    ks = jax.random.split(key, 5)
+    # A ~ -uniform[1, 16] per head (Mamba-2 init).
+    a = jnp.exp(jax.random.uniform(ks[2], (heads,), jnp.float32,
+                                   math.log(1.0), math.log(16.0)))
+    dt_bias = jnp.log(jnp.exp(jnp.exp(
+        jax.random.uniform(ks[3], (heads,), jnp.float32)
+        * (math.log(0.1) - math.log(0.001)) + math.log(0.001))) - 1.0 + 1e-9)
+    conv_dim = inner + 2 * state_dim
+    return {
+        "in_proj": dense_init(ks[0], dim,
+                              2 * inner + 2 * state_dim + heads, bias=False),
+        "conv_w": jax.random.normal(
+            ks[1], (conv_kernel, 1, conv_dim), jnp.float32)
+        * (1.0 / math.sqrt(conv_kernel)),
+        "conv_b": jnp.zeros((conv_dim,), jnp.float32),
+        "dt_bias": dt_bias,
+        "A_log": jnp.log(a),
+        "D": jnp.ones((inner,), jnp.float32),
+        "norm_scale": jnp.ones((inner,), jnp.float32),
+        "out_proj": dense_init(ks[4], inner, dim, bias=False),
+    }
+
+
+def mamba2_apply(p, x: jnp.ndarray, reverse: bool = False,
+                 chunk: int = 256) -> jnp.ndarray:
+    """x: (B, L, dim) -> (B, L, dim). ``reverse`` scans anti-causally
+    (flip -> scan -> flip, with the conv done flip-free as in Mamba-1)."""
+    from ..ops.ssd import ssd_shared
+
+    heads = p["A_log"].shape[0]
+    inner = p["D"].shape[0]
+    state_dim = (p["conv_w"].shape[-1] - inner) // 2
+    P = inner // heads
+
+    zxbcdt = dense_apply(p["in_proj"], x)
+    z = zxbcdt[..., :inner]
+    xbc = zxbcdt[..., inner:inner + inner + 2 * state_dim]
+    dt_raw = zxbcdt[..., -heads:]
+
+    k = p["conv_w"].shape[0]
+    w = p["conv_w"].astype(xbc.dtype)
+    if reverse:
+        xbc = depthwise_conv1d(xbc, jnp.flip(w, axis=0), p["conv_b"],
+                               padding=((0, k - 1),))
+    else:
+        xbc = depthwise_conv1d(xbc, w, p["conv_b"], padding=((k - 1, 0),))
+    xbc = jax.nn.silu(xbc)
+    u = xbc[..., :inner]
+    Bm = xbc[..., inner:inner + state_dim]
+    Cm = xbc[..., inner + state_dim:]
+
+    b, L, _ = x.shape
+    dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"])
+    A = -jnp.exp(p["A_log"])
+
+    uh = u.reshape(b, L, heads, P)
+    # B/C shared across heads (groups=1); the fused kernel broadcasts
+    # in-register instead of materializing (b, L, H, N), and handles the
+    # reverse direction flip-free.
+    y = ssd_shared(uh, dt, A, Bm, Cm, chunk=chunk, reverse=reverse)
+    y = y.reshape(b, L, inner) + u * p["D"].astype(u.dtype)
+
+    # Gated RMS norm (Mamba-2): norm(y * silu(z)) * scale.
+    y = y * jax.nn.silu(z)
+    yf = y.astype(jnp.float32)
+    y = (yf * jax.lax.rsqrt(jnp.mean(yf * yf, axis=-1, keepdims=True) + 1e-6)
+         * p["norm_scale"]).astype(x.dtype)
+    return dense_apply(p["out_proj"], y)
+
+
+def bissd_init(key, dim: int, state_dim: int = 32, expand: int = 2,
+               head_dim: int = 64, conv_kernel: int = 5):
+    """Bidirectional SSD layer with SHARED projections: one in_proj and one
+    centered (SAME-padded) depthwise conv feed BOTH scan directions, which
+    differ only in their decay rates and dt biases. Halves the
+    projection/conv cost of two full Mamba-2 layers; the two scans' outputs
+    are summed before the gated norm. (Vim-style sharing; the scans remain
+    exact anti-causal mirrors.)
+    """
+    inner = dim * expand
+    if inner % head_dim:
+        head_dim = inner
+    heads = inner // head_dim
+    ks = jax.random.split(key, 7)
+    conv_dim = inner + 2 * state_dim
+
+    def a_init(k):
+        return jnp.exp(jax.random.uniform(k, (heads,), jnp.float32,
+                                          math.log(1.0), math.log(16.0)))
+
+    def dtb_init(k):
+        return jnp.log(jnp.exp(jnp.exp(
+            jax.random.uniform(k, (heads,), jnp.float32)
+            * (math.log(0.1) - math.log(0.001)) + math.log(0.001)))
+            - 1.0 + 1e-9)
+
+    return {
+        "in_proj": dense_init(ks[0], dim,
+                              2 * inner + 2 * state_dim + heads, bias=False),
+        "conv_w": jax.random.normal(
+            ks[1], (conv_kernel, 1, conv_dim), jnp.float32)
+        * (1.0 / math.sqrt(conv_kernel)),
+        "conv_b": jnp.zeros((conv_dim,), jnp.float32),
+        "A_log_f": jnp.log(a_init(ks[2])),
+        "A_log_b": jnp.log(a_init(ks[3])),
+        "dt_bias_f": dtb_init(ks[4]),
+        "dt_bias_b": dtb_init(ks[5]),
+        "D": jnp.ones((inner,), jnp.float32),
+        "norm_scale": jnp.ones((inner,), jnp.float32),
+        "out_proj": dense_init(ks[6], inner, dim, bias=False),
+    }
+
+
+def bissd_apply(p, x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
+    """x: (B, L, dim) -> (B, L, dim)."""
+    from ..ops.ssd import ssd_shared
+
+    heads = p["A_log_f"].shape[0]
+    inner = p["D"].shape[0]
+    state_dim = (p["conv_w"].shape[-1] - inner) // 2
+    P = inner // heads
+
+    zxbcdt = dense_apply(p["in_proj"], x)
+    z = zxbcdt[..., :inner]
+    xbc = zxbcdt[..., inner:inner + inner + 2 * state_dim]
+    dt_raw = zxbcdt[..., -heads:].astype(jnp.float32)
+
+    k = p["conv_w"].shape[0]
+    xbc = depthwise_conv1d(xbc, p["conv_w"].astype(xbc.dtype), p["conv_b"],
+                           padding="SAME")
+    xbc = jax.nn.silu(xbc)
+    u = xbc[..., :inner]
+    Bm = xbc[..., inner:inner + state_dim]
+    Cm = xbc[..., inner + state_dim:]
+
+    b, L, _ = x.shape
+    uh = u.reshape(b, L, heads, P)
+    dt_f = jax.nn.softplus(dt_raw + p["dt_bias_f"])
+    dt_b = jax.nn.softplus(dt_raw + p["dt_bias_b"])
+    y = (ssd_shared(uh, dt_f, -jnp.exp(p["A_log_f"]), Bm, Cm, chunk=chunk)
+         + ssd_shared(uh, dt_b, -jnp.exp(p["A_log_b"]), Bm, Cm, chunk=chunk,
+                      reverse=True))
+    y = y.reshape(b, L, inner) + u * p["D"].astype(u.dtype)
+
+    y = y * jax.nn.silu(z)
+    yf = y.astype(jnp.float32)
+    y = (yf * jax.lax.rsqrt(jnp.mean(yf * yf, axis=-1, keepdims=True) + 1e-6)
+         * p["norm_scale"]).astype(x.dtype)
+    return dense_apply(p["out_proj"], y)
+
+
+def bimamba2_init(key, dim: int, **kw):
+    """Bidirectional Mamba-2: forward + reversed SSD scans, concat, fuse."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "fwd": mamba2_init(k1, dim, **kw),
+        "bwd": mamba2_init(k2, dim, **kw),
+        "fuse": dense_init(k3, 2 * dim, dim),
+    }
+
+
+def bimamba2_apply(p, x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
+    yf = mamba2_apply(p["fwd"], x, chunk=chunk)
+    yb = mamba2_apply(p["bwd"], x, reverse=True, chunk=chunk)
+    return dense_apply(p["fuse"], jnp.concatenate([yf, yb], axis=-1))
 
 
 def bimamba_apply(p, x: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:

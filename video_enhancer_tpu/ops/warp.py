@@ -45,14 +45,48 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
     img: ``(..., H, W, C)``; flow: ``(..., H, W, 2)`` as (dy, dx) —
     ``out[y, x] = img[y + dy, x + dx]`` (bilinear, border clamp).
-    Leading axes are mapped with vmap.
+
+    TPU formulation: the (v00, v01) columns are packed channel-wise (the
+    image concatenated with its x-shifted copy), so each bilinear sample is
+    TWO row-gathers of 2C channels instead of four of C. Gathers here are
+    byte-bound, and half the gathered rows' bytes are the interpolation
+    neighborhood either way, but the 4-gather form was measured ~2x slower
+    (per-gather index overhead dominates row width at C = 64).
     """
     if img.ndim == 3:
-        h, w = img.shape[0], img.shape[1]
-        yy = jnp.arange(h, dtype=img.dtype)[:, None]
-        xx = jnp.arange(w, dtype=img.dtype)[None, :]
-        coords = jnp.stack(
-            [yy + flow[..., 0], xx + flow[..., 1]], axis=-1
-        )
-        return grid_sample(img, coords)
-    return jax.vmap(flow_warp)(img, flow)
+        out = flow_warp(img[None], flow[None])
+        return out[0]
+    if img.ndim > 4:
+        lead = img.shape[:-3]
+        out = flow_warp(img.reshape((-1,) + img.shape[-3:]),
+                        flow.reshape((-1,) + flow.shape[-3:]))
+        return out.reshape(lead + out.shape[-3:])
+
+    B, H, W, C = img.shape
+    ff = flow.astype(jnp.float32)
+    y = jnp.clip(jnp.arange(H, dtype=jnp.float32)[None, :, None]
+                 + ff[..., 0], 0.0, H - 1.0)
+    x = jnp.clip(jnp.arange(W, dtype=jnp.float32)[None, None, :]
+                 + ff[..., 1], 0.0, W - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    wy = (y - y0)[..., None].astype(img.dtype)
+    wx = (x - x0)[..., None].astype(img.dtype)
+
+    # (img, img shifted one column left with edge clamp): one row-gather at
+    # (y, x0) then yields both v.0 = img[y, x0] and v.1 = img[y, x0+1|clamp].
+    packed = jnp.concatenate(
+        [img, jnp.pad(img[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)),
+                      mode="edge")], axis=-1)
+    flat = packed.reshape(B, H * W, 2 * C)
+
+    def take(yi):
+        idx = (yi * W + x0).reshape(B, H * W)
+        return jnp.take_along_axis(flat, idx[..., None],
+                                   axis=1).reshape(B, H, W, 2 * C)
+
+    r0 = take(y0)
+    r1 = take(jnp.minimum(y0 + 1, H - 1))
+    top = r0[..., :C] * (1 - wx) + r0[..., C:] * wx
+    bot = r1[..., :C] * (1 - wx) + r1[..., C:] * wx
+    return top * (1 - wy) + bot * wy
