@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..nn.ssm import bimamba_apply, bimamba_init, bissd_apply, bissd_init
+from ..nn.ssm import bissd_apply, bissd_init, bissm_apply, bissm_init
 from ..ops import pixel_shuffle, resize
 from ..ops.warp import flow_warp
 
@@ -49,10 +49,10 @@ def _block_init(key, dim, state_dim, heads):
         "temporal_norm": nn.layer_norm_init(dim),
         "qkv": nn.dense_init(ks[1], dim, 3 * dim, bias=False),
         "attn_out": nn.dense_init(ks[2], dim, dim),
-        # Temporal scans run at per-pixel batch; N=4 keeps the exp-heavy
-        # per-step state update cheap (the fused short kernel is
-        # transcendental-bound at this batch).
-        "temporal_ssm": bimamba_init(ks[3], dim, state_dim=min(state_dim, 4)),
+        # Temporal scans run at per-pixel batch; shared streams + N=4 keep
+        # the exp-heavy per-step state update cheap (the fused short kernel
+        # is transcendental-bound at this batch).
+        "temporal_ssm": bissm_init(ks[3], dim, state_dim=min(state_dim, 4)),
         "mlp_norm": nn.layer_norm_init(dim),
         "mlp": nn.mlp_init(ks[4], dim, dim * 2),
     }
@@ -116,8 +116,8 @@ def _temporal_mix(blk, x, heads):
     pc = jnp.repeat(probs, dh, axis=-1)                  # (N,T,T,C)
     attn = (pc * v[:, None, :, :]).sum(axis=2)           # (N,T,C)
     seq = seq + nn.dense_apply(blk["attn_out"], attn)
-    # auto impl: fused short-scan kernel on TPU (B = B*H*W is huge here).
-    seq = seq + bimamba_apply(blk["temporal_ssm"], seq)
+    # shared-stream fused bidir short-scan kernel (B = B*H*W is huge here).
+    seq = seq + bissm_apply(blk["temporal_ssm"], seq)
     return seq.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
 

@@ -26,7 +26,8 @@ from .core import dense_apply, dense_init
 
 __all__ = ["ssm_init", "ssm_apply", "bimamba_init", "bimamba_apply",
            "bimamba_apply_sharded", "mamba2_init", "mamba2_apply",
-           "bimamba2_init", "bimamba2_apply", "bissd_init", "bissd_apply"]
+           "bimamba2_init", "bimamba2_apply", "bissd_init", "bissd_apply",
+           "bissm_init", "bissm_apply"]
 
 
 def ssm_init(key, dim: int, state_dim: int = 16, expand: int = 2,
@@ -330,6 +331,71 @@ def bissd_apply(p, x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
     yf = y.astype(jnp.float32)
     y = (yf * jax.lax.rsqrt(jnp.mean(yf * yf, axis=-1, keepdims=True) + 1e-6)
          * p["norm_scale"]).astype(x.dtype)
+    return dense_apply(p["out_proj"], y)
+
+
+def bissm_init(key, dim: int, state_dim: int = 4, expand: int = 2,
+               conv_kernel: int = 5, dt_rank: int | None = None):
+    """Bidirectional Mamba-1 with SHARED streams for short sequences (the
+    per-pixel temporal axis): one in_proj / centered conv / x_proj feeds
+    both directions, which differ in dt bias, A, and D. Scanned by the
+    batch-major fused kernel (ops/scan.py selective_scan_bidir_shared) —
+    one kernel launch, no time-major transposes, one summed output."""
+    inner = dim * expand
+    dt_rank = dt_rank or max(dim // 16, 1)
+    ks = jax.random.split(key, 8)
+    a = jnp.tile(jnp.arange(1, state_dim + 1,
+                            dtype=jnp.float32)[None, :], (inner, 1))
+
+    def dtb_init(k):
+        return jnp.log(jnp.exp(jnp.exp(
+            jax.random.uniform(k, (inner,), jnp.float32)
+            * (math.log(0.1) - math.log(0.001)) + math.log(0.001)))
+            - 1.0 + 1e-9)
+
+    return {
+        "in_proj": dense_init(ks[0], dim, 2 * inner, bias=False),
+        "conv_w": jax.random.normal(ks[1], (conv_kernel, 1, inner),
+                                    jnp.float32)
+        * (1.0 / math.sqrt(conv_kernel)),
+        "conv_b": jnp.zeros((inner,), jnp.float32),
+        "x_proj": dense_init(ks[2], inner, dt_rank + 2 * state_dim,
+                             bias=False),
+        "dt_proj": dense_init(ks[3], dt_rank, inner),
+        "dt_bias_f": dtb_init(ks[4]),
+        "dt_bias_b": dtb_init(ks[5]),
+        "A_log_f": jnp.log(a),
+        "A_log_b": jnp.log(a),
+        "D_f": jnp.ones((inner,), jnp.float32),
+        "D_b": jnp.ones((inner,), jnp.float32),
+        "out_proj": dense_init(ks[6], inner, dim, bias=False),
+    }
+
+
+def bissm_apply(p, x: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, L, dim) -> (B, L, dim). L must be small (the kernel unrolls
+    it statically)."""
+    from ..ops.scan import selective_scan_bidir_shared
+
+    state_dim = p["A_log_f"].shape[1]
+    dt_rank = p["x_proj"]["w"].shape[1] - 2 * state_dim
+
+    xz = dense_apply(p["in_proj"], x)
+    u, gate = jnp.split(xz, 2, axis=-1)
+    u = jax.nn.silu(depthwise_conv1d(u, p["conv_w"].astype(u.dtype),
+                                     p["conv_b"], padding="SAME"))
+    proj = dense_apply(p["x_proj"], u)
+    dt_raw = proj[..., :dt_rank]
+    Bm = proj[..., dt_rank:dt_rank + state_dim]
+    Cm = proj[..., dt_rank + state_dim:]
+    dtp = dense_apply(p["dt_proj"], dt_raw)
+    dt_f = jax.nn.softplus(dtp + p["dt_bias_f"])
+    dt_b = jax.nn.softplus(dtp + p["dt_bias_b"])
+
+    y = selective_scan_bidir_shared(
+        u, dt_f, dt_b, -jnp.exp(p["A_log_f"]), -jnp.exp(p["A_log_b"]),
+        Bm, Cm, p["D_f"], p["D_b"], impl="bidir")
+    y = y * jax.nn.silu(gate)
     return dense_apply(p["out_proj"], y)
 
 

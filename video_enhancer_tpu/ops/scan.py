@@ -628,3 +628,140 @@ def chunked_selective_scan(x, dt, A, Bmat, C, D, chunk: int, impl: str | None = 
         )
         ys.append(y)
     return jnp.concatenate(ys, axis=1), h
+
+
+# ---------------------------------------------------------------------------
+# Shared-stream bidirectional short-scan kernel (temporal mixing in the video
+# models: L = a handful of frames, B = B*H*W per-pixel sequences). Unlike
+# selective_scan_bidir this kernel is BATCH-major — blocks are (BB, L, D)
+# slabs of the natural layout, so XLA inserts no time-major transposes — and
+# the two directions share u/B/C streams (only dt differs), summing their
+# outputs in-kernel into ONE result tensor.
+# ---------------------------------------------------------------------------
+
+
+def _scan_bidir_shared_kernel(u_ref, dtf_ref, dtb_ref, Af_ref, Ab_ref,
+                              B_ref, C_ref, Df_ref, Db_ref, y_ref,
+                              *, L, N):
+    """Block layouts: u_ref, dtf_ref, dtb_ref, y_ref (BB, L, D);
+    B_ref, C_ref (BB, L, N); Af/Ab (N, D); Df/Db (1, D).
+    The L loop is a static Python unroll (L is tiny)."""
+    Aff = Af_ref[:, :].astype(jnp.float32)
+    Abf = Ab_ref[:, :].astype(jnp.float32)
+    Dfv = Df_ref[0, :].astype(jnp.float32)
+    Dbv = Db_ref[0, :].astype(jnp.float32)
+
+    BB = u_ref.shape[0]
+    D = u_ref.shape[2]
+    hf = jnp.zeros((BB, N, D), jnp.float32)
+    hb = jnp.zeros((BB, N, D), jnp.float32)
+    ysf = [None] * L
+    ysb = [None] * L
+
+    for l in range(L):
+        lb = L - 1 - l
+        # forward direction
+        x_t = u_ref[:, l, :].astype(jnp.float32)
+        dt_t = dtf_ref[:, l, :].astype(jnp.float32)
+        b_t = B_ref[:, l, :].astype(jnp.float32)
+        c_t = C_ref[:, l, :].astype(jnp.float32)
+        a = jnp.exp(dt_t[:, None, :] * Aff[None])
+        hf = a * hf + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        ysf[l] = jnp.sum(hf * c_t[..., None], axis=1) + x_t * Dfv
+        # backward direction
+        x_t = u_ref[:, lb, :].astype(jnp.float32)
+        dt_t = dtb_ref[:, lb, :].astype(jnp.float32)
+        b_t = B_ref[:, lb, :].astype(jnp.float32)
+        c_t = C_ref[:, lb, :].astype(jnp.float32)
+        a = jnp.exp(dt_t[:, None, :] * Abf[None])
+        hb = a * hb + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        ysb[lb] = jnp.sum(hb * c_t[..., None], axis=1) + x_t * Dbv
+
+    y = jnp.stack([f + b for f, b in zip(ysf, ysb)], axis=1)
+    y_ref[:, :, :] = y.astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
+                            interpret=False):
+    B, L, Dd = u.shape
+    N = Af.shape[1]
+    # Small batch block: the statically-unrolled L loop keeps each step's
+    # decay/state intermediates live on the scoped-VMEM stack.
+    BB = 64
+    pad_b = (-B) % BB
+
+    def padb(a):
+        return jnp.pad(a, ((0, pad_b), (0, 0), (0, 0))) if pad_b else a
+
+    u, dtf, dtb, Bm, Cm = map(padb, (u, dtf, dtb, Bm, Cm))
+    Bp = B + pad_b
+    n_b = Bp // BB
+
+    seq_spec = pl.BlockSpec((BB, L, Dd), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((BB, L, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((N, Dd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, Dd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_scan_bidir_shared_kernel, L=L, N=N)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_b,),
+        in_specs=[seq_spec, seq_spec, seq_spec, aspec, aspec,
+                  nspec, nspec, dspec, dspec],
+        out_specs=seq_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, L, Dd), u.dtype),
+        interpret=interpret,
+    )(u, dtf, dtb, Af.swapaxes(0, 1), Ab.swapaxes(0, 1), Bm, Cm,
+      Df[None, :], Db[None, :])
+    return y[:B]
+
+
+def _bidir_shared_ref(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db):
+    yf, _ = selective_scan_ref(u, dtf, Af, Bm, Cm, Df)
+    flip = lambda a: jnp.flip(a, axis=1)
+    yb, _ = selective_scan_ref(flip(u), flip(dtb), Ab, flip(Bm), flip(Cm),
+                               Db)
+    return yf + flip(yb)
+
+
+@jax.custom_vjp
+def _bidir_shared_diffable(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db):
+    interpret = jax.default_backend() != "tpu"
+    return _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
+                                   interpret=interpret)
+
+
+def _bidir_shared_fwd(*args):
+    return _bidir_shared_diffable(*args), args
+
+
+def _bidir_shared_bwd(res, gy):
+    _, vjp = jax.vjp(_bidir_shared_ref, *res)
+    return vjp(gy)
+
+
+_bidir_shared_diffable.defvjp(_bidir_shared_fwd, _bidir_shared_bwd)
+
+
+def selective_scan_bidir_shared(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
+                                interpret=None, impl: str = "bidir"):
+    """Sum of a forward and a time-reversed selective scan over SHARED
+    u/B/C streams (directions differ only in dt/A/D). Returns y = yf + yb
+    in natural order. Differentiable (reference-impl backward).
+
+    impl="bidir" (default) routes through the time-major fused kernel
+    (measured faster: its fori_loop form keeps scoped VMEM flat, while the
+    batch-major unrolled kernel "bmajor" pays stack pressure that forces
+    small batch blocks)."""
+    if impl == "bidir":
+        yf, yb = selective_scan_bidir(u, dtf, Af, Bm, Cm, Df,
+                                      u, dtb, Ab, Bm, Cm, Db,
+                                      interpret=interpret)
+        return yf + yb
+    if interpret is not None and interpret:
+        return _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
+                                       interpret=True)
+    return _bidir_shared_diffable(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db)
