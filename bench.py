@@ -1,16 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark: CNN-2x upscale throughput, 720p -> 1440p, frames/sec/chip.
+"""Full-zoo benchmark: throughput + MFU for every routable model family.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+Prints ONE JSON line PER METRIC (machine-parseable per line), ending with
+the flagship cnn_upscaler line (drivers that take the last JSON line get the
+headline metric). Each line:
 
-Baseline (BASELINE.md): the reference's ZeroGPU path estimates ~0.5 s/frame
-(~2 fps) on an H200 slice (reference app.py:402-403); our north-star target is
->=200 frames/sec/chip on this path (BASELINE.json).
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "pct_peak_flops": N, "detail": {...}}
 
-Device timing uses the two-N slope method (utils/timing.py) because the TPU
-tunnel in this environment adds ~2 s of host roundtrip per fetch, which would
-otherwise swamp the measurement.
+Baselines are the reference's own duration estimates
+(reference api/v1/process_endpoints.py:724-733: seconds per minute of 24 fps
+video -> effective fps) and its ZeroGPU per-frame estimate (reference
+app.py:402-403, ~0.5 s/frame => 2 fps).
+
+MFU: model FLOPs come from XLA's compiled cost analysis; Pallas custom
+kernels are opaque to it (counted as 0), so pct_peak_flops is a LOWER bound
+for models using custom kernels. v5e bf16 peak is taken as 197 TFLOP/s.
+
+Device timing uses the two-N slope method (utils/timing.py): the TPU tunnel
+in this environment adds ~2 s host roundtrip per fetch, which would swamp
+wall timing.
 """
 
 import json
@@ -25,75 +34,238 @@ setup()
 import jax
 import jax.numpy as jnp
 
-from video_enhancer_tpu.models import upscaler
 from video_enhancer_tpu.utils.timing import device_time_per_call
 
-BASELINE_FPS = 2.0  # reference: ~0.5 s/frame on ZeroGPU H200 (app.py:402-403)
+PEAK_FLOPS = 197e12  # v5e bf16
+ZEROGPU_FPS = 2.0    # reference ~0.5 s/frame on an H200 slice
+
+# reference process_endpoints.py:724-733, s per minute of 24fps video -> fps
+REF_FPS = {
+    "vsrm": 24 * 60 / 120.0,
+    "seedvr2": 24 * 60 / 180.0,
+    "ditvr": 24 * 60 / 150.0,
+    "fast_mamba_vsr": 24 * 60 / 60.0,
+    "realesrgan": 24 * 60 / 90.0,
+    "rvrt": 24 * 60 / 120.0,
+    "cnn_upscaler": ZEROGPU_FPS,
+    "rife": ZEROGPU_FPS,
+}
 
 
-def bench_cnn():
-    batch, h, w = 8, 720, 1280
-    params, _ = upscaler.init(jax.random.PRNGKey(0), features=128, scale=2,
-                              s2d=4)
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+def _bf16(params):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
 
-    def fwd(x):
-        return upscaler.apply(params, x.astype(jnp.bfloat16), scale=2,
-                              s2d=4).astype(jnp.float32)
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3),
-                           jnp.float32)
-    sec = device_time_per_call(fwd, x, n_small=4, n_large=16)
+def _flops(fn, *args):
+    """Per-call FLOPs from XLA cost analysis (0 for opaque custom calls)."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _measure(name, fn, args, frames, baseline_fps, shape, n_small=3,
+             n_large=9):
+    sec = device_time_per_call(fn, *args, n_small=n_small, n_large=n_large)
+    flops = _flops(fn, *args)
+    fps = frames / sec
     return {
-        "metric": "cnn_upscaler_720p_to_1440p_throughput",
-        "value": round(batch / sec, 2),
+        "metric": f"{name}_throughput",
+        "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(batch / sec / BASELINE_FPS, 2),
+        "vs_baseline": round(fps / baseline_fps, 2),
+        "pct_peak_flops": round(100.0 * flops / sec / PEAK_FLOPS, 2),
         "detail": {
-            "batch": batch,
-            "ms_per_batch": round(sec * 1e3, 3),
+            "shape": shape,
+            "ms_per_call": round(sec * 1e3, 2),
+            "gflops_per_call": round(flops / 1e9, 1),
+            "baseline_fps": baseline_fps,
             "backend": jax.default_backend(),
-            "baseline_fps": BASELINE_FPS,
         },
     }
 
 
-def bench_fast_mamba():
+def bench_fast_mamba_vsr():
     from video_enhancer_tpu.models import fast_mamba_vsr as fmv
 
     t, h, w = 8, 180, 320
     params, _ = fmv.init(jax.random.PRNGKey(0), dim=48, num_layers=8,
                          scale=4)
-    pb = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, params)
+    pb = _bf16(params)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, h, w, 3),
                            jnp.bfloat16)
-    sec = device_time_per_call(lambda xx: fmv.apply(pb, xx, scale=4), x,
-                               n_small=2, n_large=6)
-    # Reference API estimate: fast_mamba 60 s per minute of 24fps video
-    # => ~24 fps (process_endpoints.py:724-729).
-    base = 24.0
+    return _measure("fast_mamba_vsr_180p_x4",
+                    lambda xx: fmv.apply(pb, xx, scale=4), (x,), t,
+                    REF_FPS["fast_mamba_vsr"], [1, t, h, w, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_vsrm():
+    from video_enhancer_tpu.models import vsrm
+
+    t, h, w = 7, 180, 320
+    params, _ = vsrm.init(jax.random.PRNGKey(0), dim=64, num_blocks=6,
+                          scale=4)
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, h, w, 3),
+                           jnp.bfloat16)
+    return _measure("vsrm_180p_x4", lambda xx: vsrm.apply(pb, xx, scale=4),
+                    (x,), t, REF_FPS["vsrm"], [1, t, h, w, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_seedvr2():
+    from video_enhancer_tpu.models import seedvr2
+
+    t, s = 8, 256
+    params, _ = seedvr2.init(jax.random.PRNGKey(0))
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, s, s, 3),
+                           jnp.bfloat16)
+    return _measure("seedvr2_256_restore",
+                    lambda xx: seedvr2.apply(pb, xx), (x,), t,
+                    REF_FPS["seedvr2"], [1, t, s, s, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_ditvr():
+    from video_enhancer_tpu.models import ditvr
+
+    t, s = 8, 224
+    params, _ = ditvr.init(jax.random.PRNGKey(0))
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, s, s, 3),
+                           jnp.bfloat16)
+    return _measure("ditvr_224_restore", lambda xx: ditvr.apply(pb, xx),
+                    (x,), t, REF_FPS["ditvr"], [1, t, s, s, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_realesrgan():
+    from video_enhancer_tpu.models import realesrgan
+
+    b, h, w = 8, 180, 320
+    params, _ = realesrgan.init(jax.random.PRNGKey(0))
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (b, h, w, 3),
+                           jnp.bfloat16)
+    return _measure("realesrgan_180p_x4",
+                    lambda xx: realesrgan.apply(pb, xx), (x,), b,
+                    REF_FPS["realesrgan"], [b, h, w, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_rvrt():
+    from video_enhancer_tpu.models import rvrt
+
+    t, h, w = 8, 180, 320
+    params, _ = rvrt.init(jax.random.PRNGKey(0), scale=4)
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, h, w, 3),
+                           jnp.bfloat16)
+    return _measure("rvrt_180p_x4", lambda xx: rvrt.apply(pb, xx, scale=4),
+                    (x,), t, REF_FPS["rvrt"], [1, t, h, w, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_rife():
+    from video_enhancer_tpu.models import rife
+
+    t, h, w = 8, 360, 640
+    params, _ = rife.init(jax.random.PRNGKey(0))
+    pb = _bf16(params)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (t, h, w, 3),
+                           jnp.bfloat16)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (t, h, w, 3),
+                           jnp.bfloat16)
+    return _measure("rife_360p_interp",
+                    lambda aa, bb: rife.interpolate_pair(pb, aa, bb),
+                    (a, b), t, REF_FPS["rife"], [t, h, w, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_flash_attention():
+    from video_enhancer_tpu.ops.attention import attention, attention_ref
+
+    B, H, L, D = 4, 8, 4096, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D), jnp.bfloat16)
+    sec = device_time_per_call(attention, q, k, v, n_small=3, n_large=9)
+    flops = 4.0 * B * H * L * L * D  # analytic (2 matmuls, 2 flops/MAC)
+    sec_ref = device_time_per_call(attention_ref, q, k, v, n_small=3,
+                                   n_large=9)
+    tflops = flops / sec / 1e12
     return {
-        "metric": "fast_mamba_vsr_180p_x4_throughput",
-        "value": round(t / sec, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(t / sec / base, 2),
-        "detail": {"clip": [t, h, w], "ms_per_clip": round(sec * 1e3, 1),
-                   "backend": jax.default_backend(), "baseline_fps": base},
+        "metric": "flash_attention_tflops",
+        "value": round(tflops, 1),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(sec_ref / sec, 2),
+        "pct_peak_flops": round(100.0 * flops / sec / PEAK_FLOPS, 2),
+        "detail": {
+            "shape": [B, H, L, D],
+            "ms_flash": round(sec * 1e3, 2),
+            "ms_xla_full": round(sec_ref * 1e3, 2),
+            "baseline": "XLA full attention, same shape",
+            "backend": jax.default_backend(),
+        },
     }
+
+
+def bench_cnn():
+    from video_enhancer_tpu.models import upscaler
+
+    batch, h, w = 8, 720, 1280
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=128, scale=2,
+                              s2d=4)
+    pb = _bf16(params)
+
+    def fwd(x):
+        return upscaler.apply(pb, x.astype(jnp.bfloat16), scale=2,
+                              s2d=4).astype(jnp.float32)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3),
+                           jnp.float32)
+    out = _measure("cnn_upscaler_720p_to_1440p", fwd, (x,), batch,
+                   ZEROGPU_FPS, [batch, h, w, 3], n_small=4, n_large=16)
+    # Keep the round-1 metric name for longitudinal comparability.
+    out["metric"] = "cnn_upscaler_720p_to_1440p_throughput"
+    return out
+
+
+BENCHES = [
+    ("fast_mamba_vsr", bench_fast_mamba_vsr),
+    ("vsrm", bench_vsrm),
+    ("seedvr2", bench_seedvr2),
+    ("ditvr", bench_ditvr),
+    ("realesrgan", bench_realesrgan),
+    ("rvrt", bench_rvrt),
+    ("rife", bench_rife),
+    ("flash_attention", bench_flash_attention),
+    ("cnn_upscaler", bench_cnn),  # flagship LAST (tail-parse headline)
+]
 
 
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="cnn_upscaler",
-                   choices=["cnn_upscaler", "fast_mamba_vsr"])
+    p.add_argument("--model", default="all",
+                   choices=["all"] + [n for n, _ in BENCHES])
     args = p.parse_args()
-    result = (bench_cnn() if args.model == "cnn_upscaler"
-              else bench_fast_mamba())
-    print(json.dumps(result))
+    for name, fn in BENCHES:
+        if args.model not in ("all", name):
+            continue
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # keep later benches alive
+            print(json.dumps({"metric": name, "error": str(e)[:300]}),
+                  flush=True)
 
 
 if __name__ == "__main__":
