@@ -1,0 +1,63 @@
+"""Audio passthrough + clip/concat (reference video_utils.py:137-281
+parity). ffmpeg is absent in this image, so the passthrough must degrade
+to an explicit recorded status, and clip/concat fall back to cv2
+(video-only)."""
+
+import numpy as np
+import pytest
+
+from video_enhancer_tpu.io import audio as aud
+from video_enhancer_tpu.io.demo import write_demo_video
+from video_enhancer_tpu.io.video import get_video_metadata, read_video
+
+
+@pytest.fixture(scope="module")
+def demo_video(tmp_path_factory):
+    path = tmp_path_factory.mktemp("aud") / "demo.mp4"
+    write_demo_video(path, frames=12, size_hw=(48, 64))
+    return path
+
+
+def test_passthrough_status_without_ffmpeg(demo_video, tmp_path,
+                                           monkeypatch):
+    out = tmp_path / "out.mp4"
+    out.write_bytes(demo_video.read_bytes())
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    assert aud.passthrough_audio(demo_video, out) == "dropped (no ffmpeg)"
+    # file untouched
+    assert out.read_bytes() == demo_video.read_bytes()
+
+
+def test_passthrough_no_audio_stream(demo_video, tmp_path):
+    if not aud.ffmpeg_available():
+        pytest.skip("ffmpeg not installed")
+    out = tmp_path / "out.mp4"
+    out.write_bytes(demo_video.read_bytes())
+    # demo video is cv2-written: no audio stream
+    assert aud.passthrough_audio(demo_video, out) == "none"
+
+
+def test_clip_video_cv2_fallback(demo_video, tmp_path, monkeypatch):
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    out = tmp_path / "clip.mp4"
+    meta = get_video_metadata(demo_video)
+    assert aud.clip_video(demo_video, out, start_sec=0.0,
+                          duration_sec=4.0 / meta.fps)
+    assert read_video(out).shape[0] == 4
+
+
+def test_concat_videos_cv2_fallback(demo_video, tmp_path, monkeypatch):
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    out = tmp_path / "cat.mp4"
+    assert aud.concat_videos([demo_video, demo_video], out)
+    n = read_video(demo_video).shape[0]
+    assert read_video(out).shape[0] == 2 * n
+
+
+def test_extract_and_mux_report_false_without_ffmpeg(tmp_path, monkeypatch):
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    assert not aud.ffmpeg_available()
+    assert not aud.extract_audio(tmp_path / "a.mp4", tmp_path / "a.m4a")
+    assert not aud.mux_audio(tmp_path / "a.mp4", tmp_path / "a.m4a",
+                             tmp_path / "o.mp4")
+    assert not aud.has_audio_stream(tmp_path / "a.mp4")

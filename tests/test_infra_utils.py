@@ -229,3 +229,27 @@ def test_structured_logging_and_ring_buffer(tmp_path):
         for f in logging.getLogger().filters:
             f.filter(rec2)
         assert rec2.ctx["request_id"] == "req42"
+
+
+def test_profiler_trace_hook(tmp_path):
+    """profile=True wraps the op in a jax.profiler trace and records the
+    trace directory (SURVEY §5 tracing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.utils.perf import PerformanceTracker
+
+    tracker = PerformanceTracker()
+    op = tracker.start_operation("traced_op", "test", profile=True,
+                                 trace_dir=str(tmp_path))
+    jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    rec = tracker.finish_operation(op, success=True)
+    tdir = rec["meta"].get("trace_dir")
+    if "trace_error" in rec["meta"]:
+        import pytest
+
+        pytest.skip(f"profiler unavailable: {rec['meta']['trace_error']}")
+    import pathlib
+
+    files = list(pathlib.Path(tdir).rglob("*"))
+    assert any(f.is_file() for f in files), "no trace artifact written"

@@ -73,6 +73,12 @@ def main(argv=None):
 
             stats = run_auto_pipeline(args.input, args.output,
                                       engine=args.engine, scale=args.scale)
+        from .io.audio import passthrough_audio
+
+        try:
+            stats["audio"] = passthrough_audio(args.input, args.output)
+        except Exception as e:
+            stats["audio"] = f"dropped ({e})"
         print(json.dumps(stats))
         return 0
 

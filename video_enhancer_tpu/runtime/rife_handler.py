@@ -23,9 +23,24 @@ __all__ = ["RIFEHandler"]
 
 class RIFEHandler:
     def __init__(self, dim: int = 32, levels: int = 3, seed: int = 0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, weights_path=None):
         self.params, self.meta = rife.init(jax.random.PRNGKey(seed), dim=dim,
                                            levels=levels)
+        # Weight chain: explicit path -> bundled npz -> random init.
+        import pathlib
+
+        from .weights import try_load_params
+
+        candidates = [weights_path] if weights_path else []
+        candidates.append(pathlib.Path(__file__).resolve().parents[1]
+                          / "weights" / "rife.npz")
+        for cand in candidates:
+            if cand and pathlib.Path(cand).exists():
+                loaded = try_load_params(cand, self.params)
+                if loaded is not None:
+                    self.params = loaded
+                    self.meta = dict(self.meta, weights=str(cand))
+                    break
         self.params = jax.tree.map(
             lambda a: a.astype(compute_dtype), self.params
         )

@@ -187,6 +187,16 @@ class ApiServer:
                         post["hfr"] = True
                 except Exception as e:
                     post["post_expert_error"] = str(e)
+                # Audio passthrough (reference video_utils.py:137-199):
+                # re-mux the source audio when ffmpeg exists; otherwise the
+                # drop is recorded, not silent.
+                from ..io.audio import passthrough_audio
+
+                try:
+                    post["audio"] = passthrough_audio(job["input_path"],
+                                                      job["output_path"])
+                except Exception as e:
+                    post["audio"] = f"dropped ({e})"
                 self.jobs.update(
                     job_id, status=JobStatus.COMPLETED, progress=1.0,
                     stage="done", result={**result.metrics, **post},

@@ -44,13 +44,56 @@ def build_model(name: str, scale: int, dim: int | None = None,
         params, meta = m.init(key, dim=dim or 64, num_blocks=layers or 6,
                               scale=scale)
         return params, lambda p, c: m.apply(p, c, scale=scale)
+    if name == "realesrgan":
+        from ..models import realesrgan as m
+
+        params, meta = m.init(key, features=dim or 64,
+                              num_blocks=layers or 6)
+
+        def apply_clip(p, clip):
+            b, t = clip.shape[0], clip.shape[1]
+            frames = clip.reshape((b * t,) + clip.shape[2:])
+            out = m.apply(p, frames, scale=scale)
+            return out.reshape((b, t) + out.shape[1:])
+
+        return params, apply_clip
+    if name == "seedvr2":
+        from ..models import seedvr2 as m
+
+        params, meta = m.init(key, base_channels=dim or 32)
+        return params, lambda p, c: m.apply(p, c)
+    if name == "ditvr":
+        from ..models import ditvr as m
+
+        params, meta = m.init(key, dim=dim or 384, depth=layers or 8)
+        return params, lambda p, c: m.apply(p, c)
+    if name == "rvrt":
+        from ..models import rvrt as m
+
+        params, meta = m.init(key, dim=dim or 64, depth=layers or 4,
+                              scale=scale)
+        return params, lambda p, c: m.apply(p, c, scale=scale)
+    if name == "rife":
+        from ..models import rife as m
+
+        params, meta = m.init(key, dim=dim or 32, levels=layers or 3)
+
+        def apply_pair_clip(p, clip):
+            # clip: (B, 2, H, W, 3) = the two endpoint frames; predict the
+            # midpoint as a length-1 clip.
+            mid = m.interpolate_pair(p, clip[:, 0], clip[:, 1])
+            return mid[:, None]
+
+        return params, apply_pair_clip
     raise SystemExit(f"unsupported trainable model: {name}")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cnn_upscaler",
-                   choices=["cnn_upscaler", "fast_mamba_vsr", "vsrm"])
+                   choices=["cnn_upscaler", "fast_mamba_vsr", "vsrm",
+                            "realesrgan", "seedvr2", "ditvr", "rvrt",
+                            "rife"])
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--clip-len", type=int, default=4)
@@ -79,7 +122,7 @@ def main(argv=None):
 
     from ..parallel.mesh import make_mesh
     from .checkpoint import export_params, restore_checkpoint, save_checkpoint
-    from .data import pair_iterator
+    from .data import pair_iterator, triplet_iterator
     from .step import make_optimizer, make_train_step
 
     if args.source:
@@ -99,8 +142,11 @@ def main(argv=None):
         apply_clip, optimizer, mesh
     )
 
-    it = pair_iterator(frames, args.batch, args.clip_len, args.crop,
-                       args.scale)
+    if args.model == "rife":
+        it = triplet_iterator(frames, args.batch, args.crop)
+    else:
+        it = pair_iterator(frames, args.batch, args.clip_len, args.crop,
+                           args.scale)
     with mesh:
         state = init_state(params)
         if args.ckpt_dir:

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_pairs", "pair_iterator"]
+__all__ = ["make_pairs", "pair_iterator", "make_triplets",
+           "triplet_iterator"]
 
 
 def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator
@@ -69,4 +70,33 @@ def pair_iterator(frames: np.ndarray, batch: int, clip_len: int, crop: int,
     while True:
         yield make_pairs(frames, batch, clip_len, crop, scale,
                          seed=seed + step)
+        step += 1
+
+
+def make_triplets(frames: np.ndarray, batch: int, crop: int,
+                  seed: int = 0) -> dict:
+    """Frame-interpolation triplets: ``lr`` = the two endpoint frames
+    (B, 2, c, c, 3), ``hr`` = the true middle frame (B, 1, c, c, 3)."""
+    rng = np.random.default_rng(seed)
+    if frames.dtype == np.uint8:
+        frames = frames.astype(np.float32) / 255.0
+    n, H, W, _ = frames.shape
+    assert n >= 3, "need at least 3 source frames"
+    lr = np.empty((batch, 2, crop, crop, 3), np.float32)
+    hr = np.empty((batch, 1, crop, crop, 3), np.float32)
+    for b in range(batch):
+        t0 = rng.integers(0, n - 2)
+        y = rng.integers(0, max(H - crop, 1))
+        x = rng.integers(0, max(W - crop, 1))
+        win = frames[t0:t0 + 3, y:y + crop, x:x + crop]
+        lr[b, 0], lr[b, 1] = win[0], win[2]
+        hr[b, 0] = win[1]
+    return {"lr": lr, "hr": hr}
+
+
+def triplet_iterator(frames: np.ndarray, batch: int, crop: int,
+                     seed: int = 0):
+    step = 0
+    while True:
+        yield make_triplets(frames, batch, crop, seed=seed + step)
         step += 1

@@ -98,10 +98,27 @@ class PerformanceTracker:
 
     # -- lifecycle ---------------------------------------------------------
     def start_operation(self, name: str, strategy: str = "unknown",
+                        profile: bool = False, trace_dir: str = "data/traces",
                         **meta: Any) -> str:
+        """``profile=True`` wraps the operation in a ``jax.profiler`` trace
+        written under ``trace_dir/<name>_<op_id>`` (SURVEY §5 tracing:
+        per-op device traces for offline kernel analysis; viewable with
+        tensorboard or xprof)."""
         op_id = uuid.uuid4().hex[:12]
         op = Operation(op_id=op_id, name=name, strategy=strategy,
                        started=time.time(), meta=dict(meta))
+        if profile:
+            try:
+                import pathlib
+
+                import jax
+
+                tdir = pathlib.Path(trace_dir) / f"{name}_{op_id}"
+                tdir.mkdir(parents=True, exist_ok=True)
+                jax.profiler.start_trace(str(tdir))
+                op.meta["trace_dir"] = str(tdir)
+            except Exception as e:  # never let tracing break the op
+                op.meta["trace_error"] = str(e)
         with self._lock:
             self._active[op_id] = op
             if self._sampler is None or not self._sampler.is_alive():
@@ -129,6 +146,13 @@ class PerformanceTracker:
         op.success = success
         op.error = error
         op.meta.update(meta)
+        if "trace_dir" in op.meta:
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+            except Exception as e:
+                op.meta["trace_error"] = str(e)
         op.meta.update(_device_memory_stats())
         with self._lock:
             self._history.append(op)
