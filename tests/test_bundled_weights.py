@@ -1,0 +1,108 @@
+"""Bundled-weight quality gates: every shipped npz must beat its non-ML
+fallback on held-out synthetic pairs (match: the reference's weight chain,
+vsrm_handler.py:260-468, which silently degrades to random init — here the
+gain is asserted)."""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_enhancer_tpu.io.demo import make_demo_frames
+from video_enhancer_tpu.ops import resize
+from video_enhancer_tpu.runtime.weights import try_load_params
+from video_enhancer_tpu.train.data import make_pairs, make_triplets
+from video_enhancer_tpu.utils.metrics import psnr
+
+WEIGHTS = pathlib.Path("video_enhancer_tpu/weights")
+
+
+@pytest.fixture(scope="module")
+def heldout_frames():
+    # Same frame statistics as the training source (train/cli.py default:
+    # 256x256 demo frames) — held out by the pair-sampling seed.
+    return make_demo_frames(24, (256, 256))
+
+
+def _vsr_gain(init_fn, apply_fn, npz, frames, scale=4):
+    if not npz.exists():
+        pytest.skip(f"{npz.name} not bundled")
+    params, _ = init_fn(jax.random.PRNGKey(0))
+    loaded = try_load_params(npz, params)
+    assert loaded is not None, "bundled weights failed to load"
+    batch = make_pairs(frames, 2, 4, 128, scale, seed=999)
+    lr, hr = jnp.asarray(batch["lr"]), jnp.asarray(batch["hr"])
+    out = apply_fn(loaded, lr)
+    base = jnp.clip(resize(lr, (hr.shape[2], hr.shape[3]), method="cubic"),
+                    0, 1)
+    return float(psnr(out, hr)) - float(psnr(base, hr))
+
+
+def test_vsrm_weights_beat_bicubic(heldout_frames):
+    from video_enhancer_tpu.models import vsrm
+
+    gain = _vsr_gain(
+        lambda k: vsrm.init(k, dim=64, num_blocks=6, scale=4)[0:2],
+        lambda p, x: vsrm.apply(p, x, scale=4, scan_impl="ref"),
+        WEIGHTS / "vsrm_4x.npz", heldout_frames)
+    assert gain > 0.3, f"vsrm gain over bicubic only {gain:.2f} dB"
+
+
+def test_realesrgan_weights_beat_bicubic(heldout_frames):
+    from video_enhancer_tpu.models import realesrgan
+
+    def apply_clip(p, clip):
+        b, t = clip.shape[0], clip.shape[1]
+        fr = clip.reshape((b * t,) + clip.shape[2:])
+        out = realesrgan.apply(p, fr, scale=4)
+        return out.reshape((b, t) + out.shape[1:])
+
+    gain = _vsr_gain(
+        lambda k: realesrgan.init(k, features=64, num_blocks=6),
+        apply_clip, WEIGHTS / "realesrgan_4x.npz", heldout_frames)
+    assert gain > 0.3, f"realesrgan gain over bicubic only {gain:.2f} dB"
+
+
+def test_rvrt_weights_beat_bicubic(heldout_frames):
+    from video_enhancer_tpu.models import rvrt
+
+    gain = _vsr_gain(
+        lambda k: rvrt.init(k, dim=64, scale=4),
+        lambda p, x: rvrt.apply(p, x, scale=4),
+        WEIGHTS / "rvrt_4x.npz", heldout_frames)
+    assert gain > 0.1, f"rvrt gain over bicubic only {gain:.2f} dB"
+
+
+def test_rife_weights_beat_blend(heldout_frames):
+    from video_enhancer_tpu.models import rife
+
+    npz = WEIGHTS / "rife.npz"
+    if not npz.exists():
+        pytest.skip("rife.npz not bundled")
+    params, _ = rife.init(jax.random.PRNGKey(0))
+    loaded = try_load_params(npz, params)
+    assert loaded is not None
+    tri = make_triplets(heldout_frames, 4, 128, seed=999)
+    f0 = jnp.asarray(tri["lr"][:, 0])
+    f1 = jnp.asarray(tri["lr"][:, 1])
+    mid = jnp.asarray(tri["hr"][:, 0])
+    out = rife.interpolate_pair(loaded, f0, f1)
+    gain = float(psnr(out, mid)) - float(psnr((f0 + f1) / 2, mid))
+    assert gain > 1.0, f"rife gain over blend only {gain:.2f} dB"
+
+
+def test_ditvr_weights_restore(heldout_frames):
+    from video_enhancer_tpu.models import ditvr
+
+    npz = WEIGHTS / "ditvr_1x.npz"
+    if not npz.exists():
+        pytest.skip("ditvr_1x.npz not bundled")
+    params, _ = ditvr.init(jax.random.PRNGKey(0))
+    loaded = try_load_params(npz, params)
+    assert loaded is not None
+    batch = make_pairs(heldout_frames, 2, 4, 64, 1, seed=999)
+    deg, clean = jnp.asarray(batch["lr"]), jnp.asarray(batch["hr"])
+    out = ditvr.apply(loaded, deg)
+    assert float(psnr(out, clean)) > float(psnr(deg, clean)), (
+        "ditvr restoration loses to identity")

@@ -265,3 +265,63 @@ def test_exact_sharded_fmv_matches_single_device(cpu_mesh_devices):
     assert out.shape == ref.shape
     err = np.max(np.abs(out - ref))
     assert err < 1e-4, err
+
+
+def _exact_check(make_fn, apply_single, params, clip, tol=1e-5):
+    import jax
+    import numpy as np
+
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(time=4)
+    fn = make_fn(mesh)
+    with mesh:
+        sharded = np.asarray(fn(params, clip))
+    single = np.asarray(jax.jit(apply_single)(params, clip))
+    err = float(np.abs(sharded - single).max())
+    assert err < tol, f"sharded vs single-device max err {err}"
+
+
+def test_exact_sharded_vsrm(cpu_mesh_devices):
+    import jax
+
+    from video_enhancer_tpu.models import vsrm
+    from video_enhancer_tpu.parallel.inference import make_exact_sharded_vsrm
+
+    params, _ = vsrm.init(jax.random.PRNGKey(0), dim=16, num_blocks=2,
+                          scale=2)
+    clip = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 8, 3))
+    _exact_check(
+        lambda mesh: make_exact_sharded_vsrm(mesh, scale=2),
+        lambda p, c: vsrm.apply(p, c, scale=2, scan_impl="ref"),
+        params, clip)
+
+
+def test_exact_sharded_seedvr2(cpu_mesh_devices):
+    import jax
+
+    from video_enhancer_tpu.models import seedvr2
+    from video_enhancer_tpu.parallel.inference import (
+        make_exact_sharded_seedvr2,
+    )
+
+    params, _ = seedvr2.init(jax.random.PRNGKey(0), base_channels=8)
+    clip = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 16, 16, 3))
+    _exact_check(
+        make_exact_sharded_seedvr2,
+        lambda p, c: seedvr2.apply(p, c),
+        params, clip)
+
+
+def test_exact_sharded_ditvr(cpu_mesh_devices):
+    import jax
+
+    from video_enhancer_tpu.models import ditvr
+    from video_enhancer_tpu.parallel.inference import make_exact_sharded_ditvr
+
+    params, _ = ditvr.init(jax.random.PRNGKey(0), dim=32, depth=2, heads=2)
+    clip = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 8, 3))
+    _exact_check(
+        lambda mesh: make_exact_sharded_ditvr(mesh, heads=2),
+        lambda p, c: ditvr.apply(p, c, heads=2),
+        params, clip)

@@ -149,12 +149,27 @@ def _resblock_init(key, cin, cout, t_dim):
     return p
 
 
-def _resblock_apply(p, x, t_emb, groups=8):
-    h = jax.nn.silu(nn.group_norm_apply(p["norm1"], x, groups))
-    h = nn.conv3d_apply(p["conv1"], h)
+def _c3_sharded(p, x, time_axis, stride=1):
+    """conv3d with exact T-sharding: T-kernel-3 convs exchange a 1-frame
+    halo (zero frames at global edges, matching SAME zero padding) and trim
+    the halo rows from the output. T stride is always 1 here."""
+    if time_axis is None or p["w"].shape[0] == 1:
+        return nn.conv3d_apply(p, x, stride=stride)
+    from ..parallel.temporal import halo_exchange_time
+
+    xe = halo_exchange_time(x, 1, axis_name=time_axis, edge="zero")
+    out = nn.conv3d_apply(p, xe, stride=stride)
+    return out[:, 1:out.shape[1] - 1]
+
+
+def _resblock_apply(p, x, t_emb, groups=8, time_axis=None):
+    h = jax.nn.silu(nn.group_norm_apply(p["norm1"], x, groups,
+                                        axis_name=time_axis))
+    h = _c3_sharded(p["conv1"], h, time_axis)
     h = h + nn.dense_apply(p["t_proj"], t_emb)[:, None, None, None, :]
-    h = jax.nn.silu(nn.group_norm_apply(p["norm2"], h, groups))
-    h = nn.conv3d_apply(p["conv2"], h)
+    h = jax.nn.silu(nn.group_norm_apply(p["norm2"], h, groups,
+                                        axis_name=time_axis))
+    h = _c3_sharded(p["conv2"], h, time_axis)
     skip = nn.conv3d_apply(p["skip"], x) if "skip" in p else x
     return skip + h
 
@@ -168,11 +183,17 @@ def _attnblock_init(key, c):
     }
 
 
-def _attnblock_apply(p, x, groups=8, heads=4):
+def _attnblock_apply(p, x, groups=8, heads=4, time_axis=None):
     b, t, h, w, c = x.shape
-    n = nn.group_norm_apply(p["norm"], x, groups)
+    n = nn.group_norm_apply(p["norm"], x, groups, axis_name=time_axis)
     seq = n.reshape(b, t * h * w, c)
     q, k, v = jnp.split(nn.dense_apply(p["qkv"], seq), 3, axis=-1)
+    if time_axis is not None:
+        # Sequence-sharded attention: queries stay local, keys/values are
+        # all-gathered over the time axis (exact; token order is t-major so
+        # the tiled gather reproduces the global sequence).
+        k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
 
     def mh(z):
         return z.reshape(b, -1, heads, c // heads).transpose(0, 2, 1, 3)
@@ -228,37 +249,56 @@ def unet_init(key, in_channels: int = 6, out_channels: int = 3,
     return params, meta
 
 
-def unet_apply(params, x, t, t_dim: int = 128, groups: int = 8):
-    """x: (B, T, H, W, in_ch); t: (B,) int timesteps -> (B, T, H, W, out)."""
+def unet_apply(params, x, t, t_dim: int = 128, groups: int = 8,
+               time_axis: str | None = None):
+    """x: (B, T, H, W, in_ch); t: (B,) int timesteps -> (B, T, H, W, out).
+
+    ``time_axis``: exact T-sharded execution inside shard_map — halo'd
+    temporal convs, psum'd GroupNorm stats, gathered-K/V attention."""
     t_emb = sinusoidal_embedding(t.astype(jnp.float32), t_dim).astype(x.dtype)
     t_emb = nn.mlp_apply(params["t_mlp"], t_emb, act=jax.nn.silu)
 
-    h = nn.conv3d_apply(params["stem"], x)
+    h = _c3_sharded(params["stem"], x, time_axis)
     skips = []
     for stage in params["down"]:
-        h = _resblock_apply(stage["res"], h, t_emb, groups)
+        h = _resblock_apply(stage["res"], h, t_emb, groups, time_axis)
         if "attn" in stage:
-            h = _attnblock_apply(stage["attn"], h, groups)
+            h = _attnblock_apply(stage["attn"], h, groups,
+                                 time_axis=time_axis)
         skips.append(h)
         if "down" in stage:
-            h = nn.conv3d_apply(stage["down"], h, stride=(1, 2, 2))
+            h = _c3_sharded(stage["down"], h, time_axis, stride=(1, 2, 2))
 
-    h = _resblock_apply(params["mid1"], h, t_emb, groups)
-    h = _attnblock_apply(params["mid_attn"], h, groups)
-    h = _resblock_apply(params["mid2"], h, t_emb, groups)
+    h = _resblock_apply(params["mid1"], h, t_emb, groups, time_axis)
+    h = _attnblock_apply(params["mid_attn"], h, groups, time_axis=time_axis)
+    h = _resblock_apply(params["mid2"], h, t_emb, groups, time_axis)
 
     for stage in params["up"]:
         skip = skips.pop()
         h = _resblock_apply(
-            stage["res"], jnp.concatenate([h, skip], axis=-1), t_emb, groups
+            stage["res"], jnp.concatenate([h, skip], axis=-1), t_emb,
+            groups, time_axis
         )
         if "attn" in stage:
-            h = _attnblock_apply(stage["attn"], h, groups)
+            h = _attnblock_apply(stage["attn"], h, groups,
+                                 time_axis=time_axis)
         if "up" in stage:
-            h = conv_transpose3d(
-                h, stage["up"]["w"].astype(h.dtype), stage["up"]["b"],
-                stride=(1, 2, 2),
-            )
+            if time_axis is None:
+                h = conv_transpose3d(
+                    h, stage["up"]["w"].astype(h.dtype), stage["up"]["b"],
+                    stride=(1, 2, 2),
+                )
+            else:
+                from ..parallel.temporal import halo_exchange_time
 
-    h = jax.nn.silu(nn.group_norm_apply(params["out_norm"], h, groups))
-    return nn.conv3d_apply(params["out_conv"], h)
+                he = halo_exchange_time(h, 1, axis_name=time_axis,
+                                        edge="zero")
+                he = conv_transpose3d(
+                    he, stage["up"]["w"].astype(h.dtype), stage["up"]["b"],
+                    stride=(1, 2, 2),
+                )
+                h = he[:, 1:he.shape[1] - 1]
+
+    h = jax.nn.silu(nn.group_norm_apply(params["out_norm"], h, groups,
+                                        axis_name=time_axis))
+    return _c3_sharded(params["out_conv"], h, time_axis)

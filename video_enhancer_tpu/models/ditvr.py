@@ -110,10 +110,10 @@ def _unpatchify(tokens, grid, patch, c=3):
     return x.reshape(b, gt * pt, gh * ph, gw * pw, c)
 
 
-def _pos_embed(grid, dim, dtype):
+def _pos_embed(grid, dim, dtype, t_offset=0):
     gt, gh, gw = grid
     dt_, dh, dw = dim // 4, dim // 4, dim - dim // 4 - dim // 4
-    et = sinusoidal_embedding(jnp.arange(gt), dt_)
+    et = sinusoidal_embedding(jnp.arange(gt) + t_offset, dt_)
     eh = sinusoidal_embedding(jnp.arange(gh), dh)
     ew = sinusoidal_embedding(jnp.arange(gw), dw)
     e = jnp.concatenate(
@@ -153,7 +153,7 @@ def _adapter(p, x, stats):
     )
 
 
-def _dit_block(blk, x, cond, heads):
+def _dit_block(blk, x, cond, heads, time_axis=None):
     b, L, c = x.shape
     mod = nn.dense_apply(blk["adaln"], cond)  # (B, 6*dim)
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod[:, None, :], 6, axis=-1)
@@ -161,9 +161,15 @@ def _dit_block(blk, x, cond, heads):
     h = nn.layer_norm_apply(blk["norm1"], x) * (1 + sc1) + sh1
     qkv = nn.dense_apply(blk["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if time_axis is not None:
+        # Sequence-sharded attention: local queries, gathered keys/values
+        # (exact — softmax is order-independent over the gathered axis).
+        k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
 
     def mh(z):
-        return z.reshape(b, L, heads, c // heads).transpose(0, 2, 1, 3)
+        return z.reshape(b, z.shape[1], heads,
+                         c // heads).transpose(0, 2, 1, 3)
 
     a = attention(mh(q), mh(k), mh(v))
     a = a.transpose(0, 2, 1, 3).reshape(b, L, c)
@@ -177,8 +183,13 @@ def _dit_block(blk, x, cond, heads):
 def apply(params, clip: jnp.ndarray, degradation_type: str | int = "unknown",
           degradation_scores=(0.0, 0.0, 0.0), heads: int | None = None,
           patch: tuple[int, int, int] = (2, 4, 4),
-          auto_adapt: bool = True) -> jnp.ndarray:
-    """(B, T, H, W, 3) -> restored (B, T, H, W, 3); T,H,W padded to patch."""
+          auto_adapt: bool = True,
+          time_axis: str | None = None) -> jnp.ndarray:
+    """(B, T, H, W, 3) -> restored (B, T, H, W, 3); T,H,W padded to patch.
+
+    ``time_axis``: exact T-sharded execution inside shard_map — per-shard
+    temporal positional offsets and gathered-K/V attention. The local T
+    must be divisible by the temporal patch size."""
     b, t, h, w, c = clip.shape
     pt, ph, pw = patch
     dim = params["blocks"][0]["qkv"]["w"].shape[0]
@@ -188,9 +199,14 @@ def apply(params, clip: jnp.ndarray, degradation_type: str | int = "unknown",
     x = jnp.pad(clip, ((0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)),
                 mode="edge")
 
+    if time_axis is not None and t % pt:
+        raise ValueError(f"local T shard {t} not divisible by patch {pt}")
     tokens, grid = _patchify(x, patch)
     tok = nn.dense_apply(params["patch_embed"], tokens)
-    tok = tok + _pos_embed(grid, tok.shape[-1], tok.dtype)
+    t_offset = (jax.lax.axis_index(time_axis) * grid[0]
+                if time_axis is not None else 0)
+    tok = tok + _pos_embed(grid, tok.shape[-1], tok.dtype,
+                           t_offset=t_offset)
 
     if isinstance(degradation_type, str):
         degradation_type = DEG_TYPES.index(degradation_type) \
@@ -205,7 +221,7 @@ def apply(params, clip: jnp.ndarray, degradation_type: str | int = "unknown",
     n_adapt = len(params["adapters"])
     depth = len(params["blocks"])
     for i, blk in enumerate(params["blocks"]):
-        tok = _dit_block(blk, tok, cond, heads)
+        tok = _dit_block(blk, tok, cond, heads, time_axis=time_axis)
         ai = i - (depth - n_adapt)
         if auto_adapt and ai >= 0:
             tok = _adapter(params["adapters"][ai], tok, stats)

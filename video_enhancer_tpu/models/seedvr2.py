@@ -58,17 +58,23 @@ def _tc_init(key, heads=4, dim=32):
     }
 
 
-def _tc_apply(p, clip, heads=4):
+def _tc_apply(p, clip, heads=4, time_axis=None):
     """Temporal consistency: per-site temporal MHA + flow-warped neighbor
-    fusion, residual into the clip."""
+    fusion, residual into the clip. ``time_axis``: exact T-sharded form —
+    gathered-K/V attention, the previous-frame stream arrives by halo
+    exchange, and the (3,1,1) fuse conv is halo'd."""
     b, t, h, w, c = clip.shape
     feats = nn.conv3d_apply(p["proj_in"], clip)
     d = feats.shape[-1]
     seq = feats.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
     q, k, v = jnp.split(nn.dense_apply(p["qkv"], seq), 3, axis=-1)
+    if time_axis is not None:
+        k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
 
     def mh(z):
-        return z.reshape(z.shape[0], t, heads, d // heads).transpose(0, 2, 1, 3)
+        return z.reshape(z.shape[0], z.shape[1], heads,
+                         d // heads).transpose(0, 2, 1, 3)
 
     a = attention_ref(mh(q), mh(k), mh(v))
     a = a.transpose(0, 2, 1, 3).reshape(b * h * w, t, d)
@@ -76,7 +82,16 @@ def _tc_apply(p, clip, heads=4):
     feats = seq.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
 
     # Warp each previous frame onto the current one with the light flow net.
-    prev = jnp.concatenate([clip[:, :1], clip[:, :-1]], axis=1)
+    if time_axis is None:
+        prev = jnp.concatenate([clip[:, :1], clip[:, :-1]], axis=1)
+    else:
+        from ..parallel.temporal import halo_exchange_time
+
+        # Replicate-edge halo: the global first frame's "previous" is
+        # itself, matching the unsharded concat above.
+        ext = halo_exchange_time(clip, 1, axis_name=time_axis,
+                                 edge="replicate")
+        prev = ext[:, :t]
     flow = _flownet_apply(
         p["flow"],
         clip.reshape(b * t, h, w, c),
@@ -85,9 +100,16 @@ def _tc_apply(p, clip, heads=4):
     warped = flow_warp(prev.reshape(b * t, h, w, c),
                        flow.astype(clip.dtype)).reshape(b, t, h, w, c)
 
-    fused = nn.conv3d_apply(
-        p["fuse"], jnp.concatenate([feats, warped], axis=-1)
-    )
+    if time_axis is None:
+        fused = nn.conv3d_apply(
+            p["fuse"], jnp.concatenate([feats, warped], axis=-1)
+        )
+    else:
+        from .diffusion import _c3_sharded
+
+        fused = _c3_sharded(
+            p["fuse"], jnp.concatenate([feats, warped], axis=-1), time_axis
+        )
     return clip + fused
 
 
@@ -110,12 +132,14 @@ def init(key, base_channels: int = 32, channel_mult=(1, 2, 4),
 
 
 def apply(params, clip: jnp.ndarray, seed: int = 0,
-          heads: int = 4, num_steps: int = 1) -> jnp.ndarray:
+          heads: int = 4, num_steps: int = 1,
+          time_axis: str | None = None) -> jnp.ndarray:
     """(B, T, H, W, 3) in [0,1] -> restored clip, same shape.
 
     ``num_steps > 1`` runs the full DDIM loop (diffusion.sample_loop) from
     the quality-conditioned start timestep instead of the production
-    one-step restoration.
+    one-step restoration. ``time_axis``: exact T-sharded execution inside
+    shard_map (one-step path only).
     """
     b = clip.shape[0]
     sched = make_schedule()
@@ -124,16 +148,19 @@ def apply(params, clip: jnp.ndarray, seed: int = 0,
 
     # Quality conditioning shifts the effective timestep: cleaner input ->
     # smaller t -> lighter restoration.
-    stats = jnp.stack(
-        [
-            jnp.mean(x, axis=(1, 2, 3, 4)),
-            jnp.std(x, axis=(1, 2, 3, 4)),
-            jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]), axis=(1, 2, 3, 4))
-            if x.shape[1] > 1 else jnp.zeros((b,), x.dtype),
-            jnp.max(jnp.abs(x), axis=(1, 2, 3, 4)),
-        ],
-        axis=-1,
-    )
+    if time_axis is None:
+        # Same sum-based algebra as the sharded path so the derived integer
+        # timestep cannot flip between the two forms.
+        cnt = x[0].size
+        mean = jnp.sum(x, axis=(1, 2, 3, 4)) / cnt
+        std = jnp.sqrt(jnp.maximum(
+            jnp.sum(x * x, axis=(1, 2, 3, 4)) / cnt - mean * mean, 0.0))
+        tdiff = (jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]), axis=(1, 2, 3, 4))
+                 if x.shape[1] > 1 else jnp.zeros((b,), x.dtype))
+        amax = jnp.max(jnp.abs(x), axis=(1, 2, 3, 4))
+        stats = jnp.stack([mean, std, tdiff, amax], axis=-1)
+    else:
+        stats = _sharded_quality_stats(x, time_axis)
     t_shift = 200.0 * jnp.tanh(
         nn.mlp_apply(params["quality"], stats)[..., 0].astype(jnp.float32)
     )
@@ -147,13 +174,52 @@ def apply(params, clip: jnp.ndarray, seed: int = 0,
         x0 = sample_loop(params["unet"], x, sched, num_steps=num_steps,
                          start_t=FIXED_T, seed=seed)
     else:
-        noise = jax.random.normal(jax.random.PRNGKey(seed), x.shape, x.dtype)
+        noise = _noise_like(x, seed, time_axis)
         noisy = sched.add_noise(x, noise, t)
 
         model_in = jnp.concatenate([x, noisy], axis=-1)  # (B,T,H,W,6)
-        eps = unet_apply(params["unet"], model_in, t)
+        eps = unet_apply(params["unet"], model_in, t, time_axis=time_axis)
         x0 = sched.pred_x0(noisy, eps.astype(jnp.float32), t)
 
     restored = (x0 + 1.0) / 2.0
-    restored = _tc_apply(params["tc"], restored.astype(clip.dtype), heads)
+    restored = _tc_apply(params["tc"], restored.astype(clip.dtype), heads,
+                         time_axis=time_axis)
     return jnp.clip(restored, 0.0, 1.0)
+
+
+def _noise_like(x, seed, time_axis):
+    """Deterministic noise matching the UNSHARDED call: under T-sharding,
+    draw the global-shaped field and slice this shard's frames."""
+    if time_axis is None:
+        return jax.random.normal(jax.random.PRNGKey(seed), x.shape, x.dtype)
+    n = jax.lax.axis_size(time_axis)
+    idx = jax.lax.axis_index(time_axis)
+    b, t_loc = x.shape[0], x.shape[1]
+    full = jax.random.normal(jax.random.PRNGKey(seed),
+                             (b, t_loc * n) + x.shape[2:], x.dtype)
+    return jax.lax.dynamic_slice_in_dim(full, idx * t_loc, t_loc, axis=1)
+
+
+def _sharded_quality_stats(x, time_axis):
+    """psum/pmax versions of the four clip statistics (exact up to
+    reduction order vs the unsharded formulas)."""
+    from ..parallel.temporal import halo_exchange_time
+
+    n = jax.lax.axis_size(time_axis)
+    b, t_loc = x.shape[0], x.shape[1]
+    cnt = x[0].size * n
+    s = jax.lax.psum(jnp.sum(x, axis=(1, 2, 3, 4)), time_axis)
+    ss = jax.lax.psum(jnp.sum(x * x, axis=(1, 2, 3, 4)), time_axis)
+    mean = s / cnt
+    std = jnp.sqrt(jnp.maximum(ss / cnt - mean * mean, 0.0))
+    # Temporal diff across shard boundaries: left-halo frame (replicate at
+    # the global edge => shard 0's extra diff is exactly 0).
+    ext = halo_exchange_time(x, 1, axis_name=time_axis,
+                             edge="replicate")[:, :t_loc + 1]
+    dsum = jax.lax.psum(
+        jnp.sum(jnp.abs(ext[:, 1:] - ext[:, :-1]), axis=(1, 2, 3, 4)),
+        time_axis)
+    dcnt = max(t_loc * n - 1, 1) * x[0, 0].size
+    tdiff = dsum / dcnt
+    amax = jax.lax.pmax(jnp.max(jnp.abs(x), axis=(1, 2, 3, 4)), time_axis)
+    return jnp.stack([mean, std, tdiff, amax], axis=-1)

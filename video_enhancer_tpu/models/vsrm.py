@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..nn.ssm import bissd_apply, bissd_init, bissm_apply, bissm_init
+from ..nn.ssm import (bissd_apply, bissd_init, bissm_apply,
+                      bissm_apply_sharded, bissm_init)
 from ..ops import pixel_shuffle, resize
 from ..ops.warp import flow_warp
 
@@ -93,13 +94,18 @@ def _spatial_ssm(p, x, impl, mode: str = "raster"):
     return y.reshape(b, t, h, w, c)
 
 
-def _temporal_mix(blk, x, heads):
+def _temporal_mix(blk, x, heads, time_axis=None):
     """Batched temporal attention + temporal SSM over every spatial site.
 
     T is tiny (a chunk of frames), so the attention is computed in a fully
     elementwise broadcast form that keeps C as the lane (minor) dimension:
     per-head matmul layouts put (T, dh) = (7, 16) in the native 8x128 tile,
     which was measured ~10x slower than this formulation on v5e.
+
+    With ``time_axis`` (inside shard_map over a T-sharded clip) the
+    attention stays EXACT: queries are local, keys/values are all-gathered
+    over the mesh axis (T is short — gather beats a ring here), and the
+    temporal SSM runs the distributed prefix-combine scans.
     """
     b, t, h, w, c = x.shape
     dh = c // heads
@@ -108,16 +114,24 @@ def _temporal_mix(blk, x, heads):
 
     qkv = nn.dense_apply(blk["qkv"], seq)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if time_axis is not None:
+        k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
+    tg = k.shape[1]
     # scores[n,q,k,h] = sum_d q[n,q,(h,d)] * k[n,k,(h,d)]
-    prod = (q[:, :, None, :] * k[:, None, :, :]).reshape(n, t, t, heads, dh)
-    scores = prod.sum(-1).astype(jnp.float32)            # (N,T,T,h)
+    prod = (q[:, :, None, :] * k[:, None, :, :]).reshape(n, t, tg, heads, dh)
+    scores = prod.sum(-1).astype(jnp.float32)            # (N,T,Tg,h)
     probs = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(dh)),
                            axis=2).astype(v.dtype)
-    pc = jnp.repeat(probs, dh, axis=-1)                  # (N,T,T,C)
+    pc = jnp.repeat(probs, dh, axis=-1)                  # (N,T,Tg,C)
     attn = (pc * v[:, None, :, :]).sum(axis=2)           # (N,T,C)
     seq = seq + nn.dense_apply(blk["attn_out"], attn)
     # shared-stream fused bidir short-scan kernel (B = B*H*W is huge here).
-    seq = seq + bissm_apply(blk["temporal_ssm"], seq)
+    if time_axis is not None:
+        seq = seq + bissm_apply_sharded(blk["temporal_ssm"], seq,
+                                        axis_name=time_axis)
+    else:
+        seq = seq + bissm_apply(blk["temporal_ssm"], seq)
     return seq.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
 
@@ -138,8 +152,13 @@ def _deformable_align(params, feats):
 
 
 def apply(params, clip: jnp.ndarray, scale: int = 4, heads: int = 4,
-          scan_impl: str | None = None) -> jnp.ndarray:
-    """(B, T, H, W, 3) in [0,1] -> (B, T, scale*H, scale*W, 3)."""
+          scan_impl: str | None = None,
+          time_axis: str | None = None) -> jnp.ndarray:
+    """(B, T, H, W, 3) in [0,1] -> (B, T, scale*H, scale*W, 3).
+
+    ``time_axis``: run EXACTLY over a T-sharded clip inside shard_map —
+    gathered-K/V temporal attention + distributed temporal scans (every
+    conv has a T-kernel of 1, so no other coupling exists)."""
     x = clip
     feats = nn.conv3d_apply(params["embed"], x)
 
@@ -147,7 +166,7 @@ def apply(params, clip: jnp.ndarray, scale: int = 4, heads: int = 4,
         h = nn.layer_norm_apply(blk["spatial_norm"], feats)
         feats = feats + _spatial_ssm(blk["spatial_ssm"], h, scan_impl)
         h = nn.layer_norm_apply(blk["temporal_norm"], feats)
-        feats = feats + _temporal_mix(blk, h, heads)
+        feats = feats + _temporal_mix(blk, h, heads, time_axis=time_axis)
         h = nn.layer_norm_apply(blk["mlp_norm"], feats)
         feats = feats + nn.mlp_apply(blk["mlp"], h)
 

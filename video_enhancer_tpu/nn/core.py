@@ -126,14 +126,27 @@ def group_norm_init(dim: int):
             "bias": jnp.zeros((dim,), jnp.float32)}
 
 
-def group_norm_apply(p, x, groups: int, eps: float = 1e-5):
+def group_norm_apply(p, x, groups: int, eps: float = 1e-5,
+                     axis_name: str | None = None):
     """GroupNorm over channels-last input ``(..., C)``; stats over all
-    non-batch spatial dims + channel group (torch semantics for (B,*,C))."""
+    non-batch spatial dims + channel group (torch semantics for (B,*,C)).
+
+    ``axis_name``: inside shard_map with the clip's T axis sharded, the
+    statistics are psum-combined across shards so the normalization is
+    exact vs the unsharded op."""
     *lead, c = x.shape
     b = lead[0]
     xf = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
-    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    if axis_name is None:
+        mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    else:
+        cnt = xf.shape[1] * xf.shape[3] * jax.lax.axis_size(axis_name)
+        s = jax.lax.psum(jnp.sum(xf, axis=(1, 3), keepdims=True), axis_name)
+        ss = jax.lax.psum(jnp.sum(xf * xf, axis=(1, 3), keepdims=True),
+                          axis_name)
+        mu = s / cnt
+        var = jnp.maximum(ss / cnt - mu * mu, 0.0)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     y = y.reshape(*lead, c)
     return (y * p["scale"] + p["bias"]).astype(x.dtype)

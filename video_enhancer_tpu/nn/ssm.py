@@ -399,6 +399,55 @@ def bissm_apply(p, x: jnp.ndarray) -> jnp.ndarray:
     return dense_apply(p["out_proj"], y)
 
 
+def bissm_apply_sharded(p, x: jnp.ndarray,
+                        axis_name: str = "time") -> jnp.ndarray:
+    """EXACT bissm over a sequence sharded across ``axis_name`` (inside
+    shard_map). x: local shard (B, L_loc, dim).
+
+    The centered conv's receptive field is satisfied with a frame halo
+    (zero frames at the global edges, matching the unsharded SAME padding);
+    both scan directions run the distributed prefix-combine
+    (temporal_parallel_scan with reverse for the backward scan)."""
+    from ..parallel.temporal import halo_exchange_time, temporal_parallel_scan
+
+    state_dim = p["A_log_f"].shape[1]
+    dt_rank = p["x_proj"]["w"].shape[1] - 2 * state_dim
+    k = p["conv_w"].shape[0]
+    halo = max((k - 1) // 2, k // 2)
+    if x.shape[1] < halo:
+        raise ValueError(
+            f"local T shard ({x.shape[1]}) smaller than conv halo ({halo})")
+
+    xh = halo_exchange_time(x, halo, axis_name=axis_name, edge="zero")
+    xz = dense_apply(p["in_proj"], xh)
+    u, gate = jnp.split(xz, 2, axis=-1)
+    # Zero halo frames produce nonzero conv/in_proj outputs only through
+    # biases; the conv below re-reads the zero *inputs*, so compute the conv
+    # on the extended u derived from the (zeroed-at-edges) input and trim.
+    u = jax.nn.silu(depthwise_conv1d(u, p["conv_w"].astype(u.dtype),
+                                     p["conv_b"], padding="SAME"))
+
+    def trim(a):
+        return a[:, halo:a.shape[1] - halo]
+
+    u = trim(u)
+    gate = trim(gate)
+    proj = dense_apply(p["x_proj"], u)
+    dt_raw = proj[..., :dt_rank]
+    Bm = proj[..., dt_rank:dt_rank + state_dim]
+    Cm = proj[..., dt_rank + state_dim:]
+    dtp = dense_apply(p["dt_proj"], dt_raw)
+    dt_f = jax.nn.softplus(dtp + p["dt_bias_f"])
+    dt_b = jax.nn.softplus(dtp + p["dt_bias_b"])
+
+    yf = temporal_parallel_scan(u, dt_f, -jnp.exp(p["A_log_f"]), Bm, Cm,
+                                p["D_f"], axis_name=axis_name)
+    yb = temporal_parallel_scan(u, dt_b, -jnp.exp(p["A_log_b"]), Bm, Cm,
+                                p["D_b"], axis_name=axis_name, reverse=True)
+    y = (yf + yb) * jax.nn.silu(gate)
+    return dense_apply(p["out_proj"], y)
+
+
 def bimamba2_init(key, dim: int, **kw):
     """Bidirectional Mamba-2: forward + reversed SSD scans, concat, fuse."""
     k1, k2, k3 = jax.random.split(key, 3)

@@ -156,9 +156,31 @@ def flash_attention(q, k, v, scale: float | None = None,
     return _flash_impl(q, k, v, float(scale), block_q, block_k, interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diffable(q, k, v, scale):
+    """Differentiable flash attention: Pallas forward, reference-formula
+    backward (the kernel defines no JVP; the recomputing backward is exact
+    and keeps training through attention on the TPU fast path)."""
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_diffable(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    _, vjp = jax.vjp(lambda *a: attention_ref(*a, scale=scale), *res)
+    return vjp(g)
+
+
+_flash_diffable.defvjp(_flash_fwd, _flash_bwd)
+
+
 def attention(q, k, v, bias=None, scale: float | None = None):
     """Dispatch: flash kernel on TPU when unbiased and long; else reference."""
     long_seq = q.shape[2] >= 256 and k.shape[2] >= 256
     if bias is None and long_seq and jax.default_backend() == "tpu":
-        return flash_attention(q, k, v, scale=scale)
+        if scale is None:
+            scale = q.shape[-1] ** -0.5
+        return _flash_diffable(q, k, v, float(scale))
     return attention_ref(q, k, v, bias=bias, scale=scale)

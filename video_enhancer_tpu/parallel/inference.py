@@ -20,7 +20,68 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .temporal import halo_exchange_time
 
 __all__ = ["make_sharded_clip_fn", "make_mesh_sharded_clip_fn",
-           "make_exact_sharded_fmv"]
+           "make_exact_sharded_fmv", "make_exact_sharded_vsrm",
+           "make_exact_sharded_seedvr2", "make_exact_sharded_ditvr"]
+
+
+def _make_exact_sharded(local_apply, mesh: Mesh, time_axis: str = "time"):
+    """shard_map wrapper shared by the exact T-sharded model factories."""
+    clip_spec = P(None, time_axis, None, None, None)
+    rep = P()
+    fn = shard_map(local_apply, mesh=mesh, in_specs=(rep, clip_spec),
+                   out_specs=clip_spec)
+    run = jax.jit(fn)
+
+    def wrapper(params, clip):
+        n_t = mesh.shape[time_axis]
+        if clip.shape[1] % n_t:
+            raise ValueError(
+                f"T={clip.shape[1]} not divisible by time axis {n_t}")
+        params_r = jax.device_put(params, NamedSharding(mesh, rep))
+        clip_s = jax.device_put(clip, NamedSharding(mesh, clip_spec))
+        return run(params_r, clip_s)
+
+    return wrapper
+
+
+def make_exact_sharded_vsrm(mesh: Mesh, scale: int = 4, heads: int = 4,
+                            time_axis: str = "time"):
+    """EXACT T-sharded VSRM: gathered-K/V temporal attention, distributed
+    prefix-combine temporal scans, halo'd temporal conv — sharded output
+    equals single-device up to reduction order."""
+    from ..models import vsrm
+
+    def local(params, shard):
+        return vsrm.apply(params, shard, scale=scale, heads=heads,
+                          scan_impl="ref", time_axis=time_axis)
+
+    return _make_exact_sharded(local, mesh, time_axis)
+
+
+def make_exact_sharded_seedvr2(mesh: Mesh, time_axis: str = "time"):
+    """EXACT T-sharded SeedVR2 (one-step restore): halo'd 3-D convs
+    throughout the UNet + TC module, gathered-K/V attention, ppermute'd
+    previous-frame stream."""
+    from ..models import seedvr2
+
+    def local(params, shard):
+        return seedvr2.apply(params, shard, time_axis=time_axis)
+
+    return _make_exact_sharded(local, mesh, time_axis)
+
+
+def make_exact_sharded_ditvr(mesh: Mesh, heads: int = 6,
+                             time_axis: str = "time"):
+    """EXACT T-sharded DiTVR: per-shard positional-embedding offsets and
+    gathered-K/V attention over the global token sequence."""
+    import jax.numpy as jnp
+
+    from ..models import ditvr
+
+    def local(params, shard):
+        return ditvr.apply(params, shard, heads=heads, time_axis=time_axis)
+
+    return _make_exact_sharded(local, mesh, time_axis)
 
 
 def make_exact_sharded_fmv(mesh: Mesh, scale: int = 4,

@@ -33,12 +33,15 @@ __all__ = ["halo_exchange_time", "temporal_parallel_scan",
            "make_temporal_scan"]
 
 
-def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str = "time"):
+def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str = "time",
+                       edge: str = "replicate"):
     """Pad a T-sharded clip with ``halo`` frames from each neighbor.
 
-    x: local shard ``(B, T_loc, ...)``. Returns ``(B, T_loc + 2*halo, ...)``;
-    edge shards replicate their boundary frame (reference pads the same way,
-    ditvr_handler.py:797-801).
+    x: local shard ``(B, T_loc, ...)``. Returns ``(B, T_loc + 2*halo, ...)``.
+    ``edge`` controls the GLOBAL sequence boundary: "replicate" repeats the
+    boundary frame (reference pads the same way, ditvr_handler.py:797-801);
+    "zero" inserts zero frames — required for exactness against an
+    unsharded SAME/zero-padded convolution.
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -52,9 +55,12 @@ def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str = "time"):
     from_right = jax.lax.ppermute(
         left_block, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
-    # Edge shards: replicate own boundary frames instead of wrapping.
-    edge_left = jnp.broadcast_to(x[:, :1], left_block.shape)
-    edge_right = jnp.broadcast_to(x[:, -1:], right_block.shape)
+    if edge == "zero":
+        edge_left = jnp.zeros_like(left_block)
+        edge_right = jnp.zeros_like(right_block)
+    else:
+        edge_left = jnp.broadcast_to(x[:, :1], left_block.shape)
+        edge_right = jnp.broadcast_to(x[:, -1:], right_block.shape)
     from_left = jnp.where(idx == 0, edge_left, from_left)
     from_right = jnp.where(idx == n - 1, edge_right, from_right)
     return jnp.concatenate([from_left, x, from_right], axis=1)
