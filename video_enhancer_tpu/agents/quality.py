@@ -36,10 +36,40 @@ def _fixed_features(key, cin=3, cout=16):
 
 
 _FEAT_W = None
+_CALIBRATED = None  # trained feature-net params, or False if unavailable
+
+
+def _load_calibrated():
+    """Distortion-ranking-calibrated metric (train/lpips.py; bundled npz).
+    Held-out Spearman vs PSNR quality ordering is asserted in tests —
+    unlike the reference's VGG LPIPS this ships with its calibration
+    (reference quality_agent.py:351-448 requires a torchvision download)."""
+    global _CALIBRATED
+    if _CALIBRATED is None:
+        import pathlib
+
+        from ..runtime.weights import try_load_params
+        from ..train.lpips import feat_init
+
+        npz = (pathlib.Path(__file__).resolve().parents[1] / "weights"
+               / "lpips_proxy.npz")
+        _CALIBRATED = False
+        if npz.exists():
+            loaded = try_load_params(
+                npz, {"layers": feat_init(jax.random.PRNGKey(0))})
+            if loaded is not None:
+                _CALIBRATED = loaded["layers"]
+    return _CALIBRATED
 
 
 def _perceptual_distance(a, b):
-    """Random-projection conv features distance (LPIPS stand-in)."""
+    """Calibrated feature-net distance; random-projection fallback when the
+    bundled weights are absent."""
+    params = _load_calibrated()
+    if params is not False:
+        from ..train.lpips import lpips_distance
+
+        return jnp.mean(lpips_distance(params, a, b))
     global _FEAT_W
     if _FEAT_W is None:
         _FEAT_W = _fixed_features(jax.random.PRNGKey(42))
