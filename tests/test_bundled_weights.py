@@ -106,3 +106,19 @@ def test_ditvr_weights_restore(heldout_frames):
     out = ditvr.apply(loaded, deg)
     assert float(psnr(out, clean)) > float(psnr(deg, clean)), (
         "ditvr restoration loses to identity")
+
+
+def test_seedvr2_weights_restore(heldout_frames):
+    from video_enhancer_tpu.models import seedvr2
+
+    npz = WEIGHTS / "seedvr2_1x.npz"
+    if not npz.exists():
+        pytest.skip("seedvr2_1x.npz not bundled")
+    params, _ = seedvr2.init(jax.random.PRNGKey(0))
+    loaded = try_load_params(npz, params)
+    assert loaded is not None
+    batch = make_pairs(heldout_frames, 2, 4, 64, 1, seed=999)
+    deg, clean = jnp.asarray(batch["lr"]), jnp.asarray(batch["hr"])
+    out = seedvr2.apply(loaded, deg)
+    gain = float(psnr(out, clean)) - float(psnr(deg, clean))
+    assert gain > 0.3, f"seedvr2 restoration gain only {gain:.2f} dB"
