@@ -122,3 +122,24 @@ def test_seedvr2_weights_restore(heldout_frames):
     out = seedvr2.apply(loaded, deg)
     gain = float(psnr(out, clean)) - float(psnr(deg, clean))
     assert gain > 0.3, f"seedvr2 restoration gain only {gain:.2f} dB"
+
+
+def test_face_restorer_weights_beat_degraded():
+    from video_enhancer_tpu.runtime.face_handler import (_face_net_apply,
+                                                         _face_net_init)
+    from video_enhancer_tpu.train.faces import degrade_faces, make_face_crops
+
+    npz = WEIGHTS / "face_restorer.npz"
+    if not npz.exists():
+        pytest.skip("face_restorer.npz not bundled")
+    import numpy as np
+
+    params = _face_net_init(jax.random.PRNGKey(0))
+    loaded = try_load_params(npz, params)
+    assert loaded is not None
+    clean = make_face_crops(4, seed=555_555)
+    deg = degrade_faces(clean, np.random.default_rng(9))
+    out = _face_net_apply(loaded, jnp.asarray(deg))
+    gain = float(psnr(out, jnp.asarray(clean))) - float(
+        psnr(jnp.asarray(deg), jnp.asarray(clean)))
+    assert gain > 0.3, f"face restorer gain only {gain:.2f} dB"

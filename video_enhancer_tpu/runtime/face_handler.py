@@ -72,9 +72,25 @@ def _iou(a, b) -> float:
 
 
 class FaceRestorationExpert:
-    def __init__(self, intensity: str = "balanced", seed: int = 0):
+    def __init__(self, intensity: str = "balanced", seed: int = 0,
+                 weights_path=None):
         self.intensity = intensity
         self.params = _face_net_init(jax.random.PRNGKey(seed))
+        # Weight chain: explicit path -> bundled npz (train/faces.py,
+        # procedural synthetic faces) -> random init.
+        import pathlib
+
+        from .weights import try_load_params
+
+        candidates = [weights_path] if weights_path else []
+        candidates.append(pathlib.Path(__file__).resolve().parents[1]
+                          / "weights" / "face_restorer.npz")
+        for cand in candidates:
+            if cand and pathlib.Path(cand).exists():
+                loaded = try_load_params(cand, self.params)
+                if loaded is not None:
+                    self.params = loaded
+                    break
         self._restore = jax.jit(_face_net_apply)
 
     # -- detection + scoring ------------------------------------------------

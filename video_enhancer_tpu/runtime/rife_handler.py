@@ -59,7 +59,11 @@ class RIFEHandler:
     @track_enhancement_performance("rife")
     def interpolate_video(self, input_path, output_path,
                           interpolation_factor: int = 2,
-                          target_fps: float | None = None) -> dict:
+                          target_fps: float | None = None,
+                          quality: str = "balanced") -> dict:
+        """``quality="high"`` enables multi-scale midpoint estimation
+        (reference EnhancedRIFE's high mode blends flow estimates across
+        scales, enhanced_rife_handler.py quality tiers)."""
         t0 = time.time()
         meta = get_video_metadata(input_path)
         if target_fps:
@@ -71,7 +75,7 @@ class RIFEHandler:
 
         clip = frames
         for _ in range(levels):
-            clip = self._double(clip)
+            clip = self._double(clip, multiscale=quality == "high")
 
         out_fps = meta.fps * (2 ** levels)
         out_u8 = np.clip(np.round(clip * 255.0), 0, 255).astype(np.uint8)
@@ -91,15 +95,31 @@ class RIFEHandler:
             "output_path": str(output_path),
         }
 
-    def _double(self, clip: np.ndarray) -> np.ndarray:
+    def _double(self, clip: np.ndarray, multiscale: bool = False
+                ) -> np.ndarray:
         t = clip.shape[0]
         if t < 2:
             return clip
         try:
             mids = []
             for i in range(t - 1):
-                mids.append(self._mid(self.params, jnp.asarray(clip[i])[None],
-                                      jnp.asarray(clip[i + 1])[None])[0])
+                f0 = jnp.asarray(clip[i])[None]
+                f1 = jnp.asarray(clip[i + 1])[None]
+                mid = self._mid(self.params, f0, f1)
+                if multiscale:
+                    # High-quality mode: blend with a half-resolution
+                    # estimate (coarse motion dominates where the full-res
+                    # flow aliases).
+                    import jax
+
+                    h, w = clip.shape[1] // 2 * 2, clip.shape[2] // 2 * 2
+                    small = lambda z: jax.image.resize(
+                        z[:, :h, :w], (1, h // 2, w // 2, 3), "linear")
+                    mid_lo = self._mid(self.params, small(f0), small(f1))
+                    mid_lo = jax.image.resize(
+                        mid_lo, (1,) + clip.shape[1:3] + (3,), "linear")
+                    mid = 0.75 * mid + 0.25 * mid_lo
+                mids.append(mid[0])
             mids = np.asarray(jnp.stack(mids))
         except Exception:
             # Blend fallback (reference enhanced_rife_handler.py:187-193).

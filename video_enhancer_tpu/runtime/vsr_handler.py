@@ -58,9 +58,20 @@ class VSRHandler:
         self.tile_overlap = tile_overlap
         self.compute_dtype = compute_dtype
         # Quality gating (reference seedvr2_handler.py:506-550): windows whose
-        # sharpness already exceeds the threshold skip the model entirely
-        # (only meaningful for scale-1 restorers).
+        # sharpness already exceeds the threshold skip the model entirely.
+        # Only scale-1 restorers support it (a gated VSR window would have
+        # to emit an upscaled frame from nothing) — matching the reference,
+        # which gates SeedVR2 only. The limitation is surfaced in
+        # /api/v1/strategies as "quality_gating" rather than no-op'ing
+        # silently.
+        self.gating_supported = scale == 1
         self.quality_threshold = quality_threshold if scale == 1 else None
+        if quality_threshold is not None and not self.gating_supported:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: quality_threshold ignored (scale=%d model; gating is "
+                "restoration-only)", name, scale)
         self.params = jax.tree.map(
             lambda a: a.astype(compute_dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a,

@@ -356,6 +356,11 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
                     if name in srv.policy.models else 2,
                     "estimated_sec_per_video_minute":
                         DURATION_ESTIMATES.get(name, 90),
+                    # Window quality gating is restoration-only (scale 1);
+                    # quality_threshold is ignored for VSR models.
+                    "quality_gating": (srv.policy.models[name].scale
+                                       if name in srv.policy.models
+                                       else 2) == 1,
                 }
                 for name in avail
             ],
