@@ -169,6 +169,10 @@ def apply(params, clip: jnp.ndarray, seed: int = 0,
     )
 
     if num_steps > 1:
+        if time_axis is not None:
+            raise ValueError(
+                "multi-step DDIM sampling is not T-sharded; use the "
+                "one-step path (num_steps=1) under a time mesh")
         from .diffusion import sample_loop
 
         x0 = sample_loop(params["unet"], x, sched, num_steps=num_steps,

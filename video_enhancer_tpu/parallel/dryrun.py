@@ -56,3 +56,33 @@ def run_dryrun(n_devices: int) -> None:
     print(f"dryrun ok: devices={n_devices} flagship=fast_mamba_vsr "
           f"step={step} loss={loss:.5f}")
     assert step == 1
+
+    # Tensor/FSDP parallelism: DiTVR with parameters sharded over a flat
+    # device axis (weights created on their owning shards), one forward.
+    from ..parallel.model_parallel import make_sharded_ditvr
+
+    fsdp_mesh = make_mesh(data=n_devices)
+    params_s, fn = make_sharded_ditvr(fsdp_mesh, preset="small",
+                                      min_bytes=1 << 18)
+    with fsdp_mesh:
+        out = fn(params_s, jnp.zeros((1, 2, 16, 16, 3), jnp.float32))
+    assert out.shape == (1, 2, 16, 16, 3)
+    print(f"dryrun ok: fsdp ditvr-small forward over {n_devices} shards")
+
+    # Exact T-sharded inference (sequence parallelism): VSRM with gathered
+    # attention + distributed scans, one tiny clip.
+    from .inference import make_exact_sharded_vsrm
+
+    vs_params, _ = _vsrm_tiny()
+    vsr_fn = make_exact_sharded_vsrm(mesh, scale=2)
+    with mesh:
+        out = vsr_fn(vs_params, jnp.zeros((1, time_ * 2, 8, 8, 3),
+                                          jnp.float32))
+    assert out.shape == (1, time_ * 2, 16, 16, 3)
+    print("dryrun ok: exact T-sharded vsrm inference")
+
+
+def _vsrm_tiny():
+    from ..models import vsrm
+
+    return vsrm.init(jax.random.PRNGKey(0), dim=16, num_blocks=1, scale=2)

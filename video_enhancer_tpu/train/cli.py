@@ -105,6 +105,8 @@ def main(argv=None):
     p.add_argument("--source", default=None,
                    help="video file for training frames (default: synthetic)")
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--init-npz", default=None,
+                   help="warm-start weights from an exported npz")
     p.add_argument("--export", default=None, help="final npz weights path")
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-time", type=int, default=1)
@@ -136,6 +138,15 @@ def main(argv=None):
 
     params, apply_clip = build_model(args.model, args.scale, dim=args.dim,
                                      layers=args.layers)
+    if args.init_npz:
+        from ..runtime.weights import try_load_params
+
+        warm = try_load_params(args.init_npz, params)
+        if warm is not None:
+            params = warm
+            print(f"warm-started from {args.init_npz}")
+        else:
+            print(f"warm-start failed for {args.init_npz}; random init")
     optimizer = make_optimizer(lr=args.lr)
     mesh = make_mesh(args.mesh_data, args.mesh_time, args.mesh_space)
     init_state, train_step, shard_batch = make_train_step(
