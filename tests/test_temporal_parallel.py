@@ -325,3 +325,76 @@ def test_exact_sharded_ditvr(cpu_mesh_devices):
         lambda mesh: make_exact_sharded_ditvr(mesh, heads=2),
         lambda p, c: ditvr.apply(p, c, heads=2),
         params, clip)
+
+
+def test_ring_attention_exact(cpu_mesh_devices):
+    """Ring attention over a 4-shard token axis == single-device softmax
+    attention (SURVEY §5 long-context: the scalable form of sequence-
+    parallel attention; gather-K/V covers short sequences)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video_enhancer_tpu.ops.attention import attention_ref
+    from video_enhancer_tpu.ops.ring import ring_attention
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(time=4)
+    B, H, L, D = 2, 3, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, L, D))
+    k = jax.random.normal(ks[1], (B, H, L, D))
+    v = jax.random.normal(ks[2], (B, H, L, D))
+
+    spec = P(None, None, "time", None)
+    fn = shard_map(
+        functools.partial(ring_attention, axis_name="time"),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )
+    with mesh:
+        args = [jax.device_put(a, NamedSharding(mesh, spec))
+                for a in (q, k, v)]
+        out = np.asarray(jax.jit(fn)(*args))
+    ref = np.asarray(attention_ref(q, k, v))
+    assert float(np.abs(out - ref).max()) < 1e-5
+
+
+def test_sharded_attention_ring_path_exact(cpu_mesh_devices):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video_enhancer_tpu.ops.attention import attention_ref
+    from video_enhancer_tpu.ops.ring import sharded_attention
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(time=4)
+    B, L, C, heads = 1, 128, 32, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, L, C)) for kk in ks)
+
+    spec = P(None, "time", None)
+    for min_ring in (1, 10**9):  # force ring path, then gather path
+        fn = shard_map(
+            functools.partial(sharded_attention, heads=heads,
+                              axis_name="time", min_ring_tokens=min_ring),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+        with mesh:
+            args = [jax.device_put(a, NamedSharding(mesh, spec))
+                    for a in (q, k, v)]
+            out = np.asarray(jax.jit(fn)(*args))
+
+        def mh(z):
+            return z.reshape(B, L, heads, C // heads).transpose(0, 2, 1, 3)
+
+        ref = attention_ref(mh(q), mh(k), mh(v))
+        ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, C))
+        assert float(np.abs(out - ref).max()) < 1e-5, min_ring

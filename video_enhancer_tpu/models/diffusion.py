@@ -189,17 +189,18 @@ def _attnblock_apply(p, x, groups=8, heads=4, time_axis=None):
     seq = n.reshape(b, t * h * w, c)
     q, k, v = jnp.split(nn.dense_apply(p["qkv"], seq), 3, axis=-1)
     if time_axis is not None:
-        # Sequence-sharded attention: queries stay local, keys/values are
-        # all-gathered over the time axis (exact; token order is t-major so
-        # the tiled gather reproduces the global sequence).
-        k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
-        v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
+        # Sequence-sharded attention (exact): gather-K/V for short global
+        # sequences, ring attention for long clips where the gathered K/V
+        # would not fit (ops/ring.py).
+        from ..ops.ring import sharded_attention
 
-    def mh(z):
-        return z.reshape(b, -1, heads, c // heads).transpose(0, 2, 1, 3)
+        a = sharded_attention(q, k, v, heads, time_axis)
+    else:
+        def mh(z):
+            return z.reshape(b, -1, heads, c // heads).transpose(0, 2, 1, 3)
 
-    a = attention(mh(q), mh(k), mh(v))
-    a = a.transpose(0, 2, 1, 3).reshape(b, t * h * w, c)
+        a = attention(mh(q), mh(k), mh(v))
+        a = a.transpose(0, 2, 1, 3).reshape(b, t * h * w, c)
     return x + nn.dense_apply(p["proj"], a).reshape(b, t, h, w, c)
 
 

@@ -162,17 +162,18 @@ def _dit_block(blk, x, cond, heads, time_axis=None):
     qkv = nn.dense_apply(blk["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if time_axis is not None:
-        # Sequence-sharded attention: local queries, gathered keys/values
-        # (exact — softmax is order-independent over the gathered axis).
-        k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
-        v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
+        # Sequence-sharded attention (exact): gather-K/V when short, ring
+        # attention for long token sequences (ops/ring.py).
+        from ..ops.ring import sharded_attention
 
-    def mh(z):
-        return z.reshape(b, z.shape[1], heads,
-                         c // heads).transpose(0, 2, 1, 3)
+        a = sharded_attention(q, k, v, heads, time_axis)
+    else:
+        def mh(z):
+            return z.reshape(b, z.shape[1], heads,
+                             c // heads).transpose(0, 2, 1, 3)
 
-    a = attention(mh(q), mh(k), mh(v))
-    a = a.transpose(0, 2, 1, 3).reshape(b, L, c)
+        a = attention(mh(q), mh(k), mh(v))
+        a = a.transpose(0, 2, 1, 3).reshape(b, L, c)
     x = x + g1 * nn.dense_apply(blk["proj"], a)
 
     h = nn.layer_norm_apply(blk["norm2"], x) * (1 + sc2) + sh2

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..nn.ssm import bimamba_apply, bimamba_init
+from ..nn.ssm import bissm_apply, bissm_init
 from ..ops import pixel_shuffle, resize
 from ..ops.conv import conv3d
 
@@ -71,8 +71,11 @@ def init(key, dim: int = 48, num_layers: int = 8, scale: int = 4,
         kl = jax.random.split(ks[8 + i], 3)
         params["layers"].append({
             "norm": nn.layer_norm_init(dim),
-            "bimamba": bimamba_init(kl[0], dim, state_dim=state_dim,
-                                    expand=expand),
+            # Shared-stream bidirectional SSM (round 2: one projection/
+            # conv/x_proj feeds both directions — the separate-stream form
+            # was 88 of the model's 134 ms).
+            "bimamba": bissm_init(kl[0], dim, state_dim=state_dim,
+                                  expand=expand),
             "spatial_dw": nn.conv3d_init(kl[1], 1, 3, 3, dim, dim, groups=dim),
             "spatial_pw": nn.conv3d_init(kl[2], 1, 1, 1, dim, dim),
         })
@@ -86,16 +89,16 @@ def _temporal_bimamba(p, x, impl=None, time_axis=None):
 
     (B, T, H, W, C) -> sequences (B*H*W, T, C) -> scan -> back. With
     ``time_axis`` set (inside shard_map with T sharded on that mesh axis)
-    the scan is EXACT across shards (nn.ssm.bimamba_apply_sharded).
+    the scan is EXACT across shards (nn.ssm.bissm_apply_sharded).
     """
     b, t, h, w, c = x.shape
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
     if time_axis is not None:
-        from ..nn.ssm import bimamba_apply_sharded
+        from ..nn.ssm import bissm_apply_sharded
 
-        y = bimamba_apply_sharded(p, seq, axis_name=time_axis, impl=impl)
+        y = bissm_apply_sharded(p, seq, axis_name=time_axis)
     else:
-        y = bimamba_apply(p, seq, impl=impl)
+        y = bissm_apply(p, seq)
     return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
 

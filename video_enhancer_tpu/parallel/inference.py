@@ -148,8 +148,10 @@ def make_mesh_sharded_clip_fn(apply_fn, mesh: Mesh, halo_t: int = 2,
             out = out[:, halo_t:out.shape[1] - halo_t]
         return out
 
+    # check_vma=False: the local fn may invoke Pallas kernels whose
+    # out_shapes carry no varying-mesh-axes annotation.
     fn = shard_map(local, mesh=mesh, in_specs=(rep, clip_spec),
-                   out_specs=clip_spec)
+                   out_specs=clip_spec, check_vma=False)
     run = jax.jit(fn)
 
     def wrapper(params, clip):
@@ -193,6 +195,7 @@ def make_sharded_clip_fn(apply_fn, mesh: Mesh, halo: int = 2,
         mesh=mesh,
         in_specs=(rep, clip_spec),
         out_specs=clip_spec,
+        check_vma=False,  # local fn may invoke Pallas kernels
     )
 
     @jax.jit
