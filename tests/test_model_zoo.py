@@ -36,6 +36,37 @@ def test_vsrm_shapes():
     assert y.shape == (1, 3, 48, 48, 3)
 
 
+def test_vsrm_attentive_backbone():
+    """MambaIRv2-style spatial mixer (reference mambairv2_blocks.py:35-139,
+    selected by PREFERRED_BACKBONE but never wired there) is a routable
+    VSRM variant here."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import vsrm as m
+
+    params, meta = m.init(jax.random.PRNGKey(0), dim=16, num_blocks=1,
+                          mixer="attentive")
+    assert meta["mixer"] == "attentive"
+    assert "qkv" in params["blocks"][0]["spatial_ssm"]
+    x = _clip((1, 3, 12, 12, 3))
+    y = jax.jit(lambda p, v: m.apply(p, v, scale=4,
+                                     mixer="attentive"))(params, x)
+    assert y.shape == (1, 3, 48, 48, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_vsrm_attentive_env_selection(monkeypatch, tmp_path):
+    """VETPU_PREFERRED_BACKBONE=mambairv2 builds the attentive variant."""
+    monkeypatch.setenv("VETPU_PREFERRED_BACKBONE", "mambairv2")
+    from video_enhancer_tpu.config import load_policy
+    from video_enhancer_tpu.runtime import registry
+
+    policy = load_policy()
+    handler = registry._build("vsrm", policy, seed=0)
+    assert "qkv" in handler.params["blocks"][0]["spatial_ssm"]
+
+
 def test_ditvr_shapes_conditioning_and_padding():
     import jax
     import jax.numpy as jnp

@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..nn.ssm import (bissd_apply, bissd_init, bissm_apply,
-                      bissm_apply_sharded, bissm_init)
+from ..nn.ssm import (attentive_ssm_apply, attentive_ssm_init, bissd_apply,
+                      bissd_init, bissm_apply, bissm_apply_sharded,
+                      bissm_init)
 from ..ops import pixel_shuffle, resize
 from ..ops.warp import flow_warp
 
@@ -36,17 +37,24 @@ __all__ = ["init", "apply", "default_config"]
 
 def default_config():
     return {"dim": 64, "num_blocks": 6, "scale": 4, "state_dim": 16,
-            "heads": 4}
+            "heads": 4, "mixer": "ssd"}
 
 
-def _block_init(key, dim, state_dim, heads):
+def _block_init(key, dim, state_dim, heads, mixer="ssd"):
     ks = jax.random.split(key, 8)
-    return {
-        "spatial_norm": nn.layer_norm_init(dim),
+    if mixer == "attentive":
+        # MambaIRv2-style backbone (reference mambairv2_blocks.py:35-139,
+        # selected by PREFERRED_BACKBOND env at model_config.py:108 but
+        # never wired into a handler there — here it is routable).
+        spatial = attentive_ssm_init(ks[0], dim)
+    else:
         # Long-L raster scan -> bidirectional Mamba-2/SSD (matmul form,
         # MXU-bound; shared projections, direction-specific decays).
-        "spatial_ssm": bissd_init(ks[0], dim,
-                                  state_dim=2 * state_dim, head_dim=64),
+        spatial = bissd_init(ks[0], dim, state_dim=2 * state_dim,
+                             head_dim=64)
+    return {
+        "spatial_norm": nn.layer_norm_init(dim),
+        "spatial_ssm": spatial,
         "temporal_norm": nn.layer_norm_init(dim),
         "qkv": nn.dense_init(ks[1], dim, 3 * dim, bias=False),
         "attn_out": nn.dense_init(ks[2], dim, dim),
@@ -60,12 +68,12 @@ def _block_init(key, dim, state_dim, heads):
 
 
 def init(key, dim: int = 64, num_blocks: int = 6, scale: int = 4,
-         state_dim: int = 8, heads: int = 4):
+         state_dim: int = 8, heads: int = 4, mixer: str = "ssd"):
     ks = jax.random.split(key, num_blocks + 5)
     params = {
         "embed": nn.conv3d_init(ks[0], 1, 3, 3, 3, dim),
         "blocks": [
-            _block_init(ks[1 + i], dim, state_dim, heads)
+            _block_init(ks[1 + i], dim, state_dim, heads, mixer=mixer)
             for i in range(num_blocks)
         ],
         "offset": nn.conv3d_init(ks[num_blocks + 1], 1, 3, 3, dim, 2,
@@ -77,18 +85,24 @@ def init(key, dim: int = 64, num_blocks: int = 6, scale: int = 4,
                                3 * scale * scale, zero=True),
     }
     meta = {"dim": dim, "num_blocks": num_blocks, "scale": scale,
-            "heads": heads}
+            "heads": heads, "mixer": mixer}
     return params, meta
 
 
-def _spatial_ssm(p, x, impl, mode: str = "raster"):
+def _spatial_ssm(p, x, impl, mixer: str = "ssd"):
     """Bidirectional spatial scan of each frame: one flattened H*W raster
     sequence (the reference's order, ea_mamba_blocks.py:120-147) through
     the SSD chunked-matmul scan. An axial (rows + columns) Mamba-1 variant
     was measured SLOWER on v5e (715 vs 452 ms at 180p — doubled projections
     dominate) and was dropped when the mixer moved to SSD.
+
+    ``mixer="attentive"`` swaps in the MambaIRv2-style conv+attention
+    mixer (nn/ssm.py attentive_ssm_*) per frame instead.
     """
     b, t, h, w, c = x.shape
+    if mixer == "attentive":
+        y = attentive_ssm_apply(p, x.reshape(b * t, h, w, c))
+        return y.reshape(b, t, h, w, c)
     seq = x.reshape(b * t, h * w, c)
     y = bissd_apply(p, seq)
     return y.reshape(b, t, h, w, c)
@@ -152,7 +166,7 @@ def _deformable_align(params, feats):
 
 
 def apply(params, clip: jnp.ndarray, scale: int = 4, heads: int = 4,
-          scan_impl: str | None = None,
+          scan_impl: str | None = None, mixer: str = "ssd",
           time_axis: str | None = None) -> jnp.ndarray:
     """(B, T, H, W, 3) in [0,1] -> (B, T, scale*H, scale*W, 3).
 
@@ -164,7 +178,8 @@ def apply(params, clip: jnp.ndarray, scale: int = 4, heads: int = 4,
 
     for blk in params["blocks"]:
         h = nn.layer_norm_apply(blk["spatial_norm"], feats)
-        feats = feats + _spatial_ssm(blk["spatial_ssm"], h, scan_impl)
+        feats = feats + _spatial_ssm(blk["spatial_ssm"], h, scan_impl,
+                                     mixer=mixer)
         h = nn.layer_norm_apply(blk["temporal_norm"], feats)
         feats = feats + _temporal_mix(blk, h, heads, time_axis=time_axis)
         h = nn.layer_norm_apply(blk["mlp_norm"], feats)

@@ -486,3 +486,68 @@ def bimamba_apply(p, x: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
         yf = ssm_apply(p["fwd"], x, impl=impl)
         yb = ssm_apply(p["bwd"], x, reverse=True, impl=impl)
     return dense_apply(p["fuse"], jnp.concatenate([yf, yb], axis=-1))
+
+
+def _attentive_heads(inner: int) -> int:
+    """MXU-first head sizing: 64-wide heads, capped at 8, dividing inner."""
+    heads = max(1, min(8, inner // 64))
+    while inner % heads:
+        heads -= 1
+    return heads
+
+
+def attentive_ssm_init(key, dim: int, expand: int = 2,
+                       conv_kernel: int = 3):
+    """MambaIRv2-style attentive spatial mixer (reference
+    models/backbones/mamba/mambairv2_blocks.py:35-107).
+
+    The reference's ``AttentiveSSM`` declares state-space tensors but never
+    uses them (A_log/D at mambairv2_blocks.py:55-56 are dead parameters);
+    its forward is in_proj -> depthwise 2D conv -> full spatial
+    self-attention with a residual LayerNorm -> SiLU gating -> out_proj.
+    This mixer reproduces that computation with the attention running
+    through the shared flash kernel (ops/attention.py) and head sizing
+    chosen MXU-first (64-wide heads) instead of the reference's
+    round-to-8 embed_dim projection shim (mambairv2_blocks.py:60-69).
+    """
+    from .core import conv2d_init, layer_norm_init
+
+    inner = dim * expand
+    ks = jax.random.split(key, 5)
+    return {
+        "in_proj": dense_init(ks[0], dim, 2 * inner, bias=False),
+        "conv": conv2d_init(ks[1], conv_kernel, conv_kernel, inner, inner,
+                            groups=inner),
+        "qkv": dense_init(ks[2], inner, 3 * inner, bias=False),
+        "attn_out": dense_init(ks[3], inner, inner),
+        "attn_norm": layer_norm_init(inner),
+        "out_proj": dense_init(ks[4], inner, dim, bias=False),
+    }
+
+
+def attentive_ssm_apply(p, x: jnp.ndarray) -> jnp.ndarray:
+    """``(B, H, W, C) -> (B, H, W, C)`` attentive mixing of one frame."""
+    from ..ops.attention import attention
+    from .core import conv2d_apply, layer_norm_apply
+
+    b, h, w, c = x.shape
+    xz = dense_apply(p["in_proj"], x)
+    xs, z = jnp.split(xz, 2, axis=-1)
+    inner = xs.shape[-1]
+    heads = _attentive_heads(inner)
+    xs = conv2d_apply(p["conv"], xs, groups=inner)
+
+    seq = xs.reshape(b, h * w, inner)
+    qkv = dense_apply(p["qkv"], seq)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    dh = inner // heads
+
+    def to_heads(a):
+        return a.reshape(b, h * w, heads, dh).transpose(0, 2, 1, 3)
+
+    att = attention(to_heads(q), to_heads(k), to_heads(v))
+    att = att.transpose(0, 2, 1, 3).reshape(b, h * w, inner)
+    seq = seq + layer_norm_apply(p["attn_norm"],
+                                 dense_apply(p["attn_out"], att))
+    y = jax.nn.silu(seq.reshape(b, h, w, inner)) * jax.nn.silu(z)
+    return dense_apply(p["out_proj"], y)

@@ -147,14 +147,28 @@ def _build(name: str, policy: Policy, seed: int):
         )
 
     if name == "vsrm":
+        import os
+
         from ..models import vsrm as m
 
         dim = int(entry.extra.get("dim", 64)) if entry else 64
         blocks = int(entry.extra.get("num_blocks", 6)) if entry else 6
+        # Backbone selection (reference PREFERRED_BACKBONE env at
+        # config/model_config.py:108, which the reference never wires in;
+        # here "mambairv2"/"attentive" swaps the spatial mixer for real).
+        backbone = str(
+            (entry.extra.get("backbone") if entry else None)
+            or os.environ.get("VETPU_PREFERRED_BACKBONE", "eamamba")
+        ).lower()
+        mixer = "attentive" if backbone in ("mambairv2", "attentive") \
+            else "ssd"
         params, _ = _load_or_init(name, entry, m.init, dim=dim,
-                                  num_blocks=blocks, scale=entry.scale)
+                                  num_blocks=blocks, scale=entry.scale,
+                                  mixer=mixer)
         return VSRHandler(
-            name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
+            name,
+            lambda p, x: m.apply(p, x, scale=entry.scale, mixer=mixer),
+            params,
             scale=entry.scale, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
             tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
