@@ -54,6 +54,28 @@ def test_concat_videos_cv2_fallback(demo_video, tmp_path, monkeypatch):
     assert read_video(out).shape[0] == 2 * n
 
 
+def test_resize_video_cv2_fallback(demo_video, tmp_path, monkeypatch):
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    out = tmp_path / "small.mp4"
+    assert aud.resize_video(demo_video, out, width=64, height=48)
+    meta = get_video_metadata(out)
+    assert (meta.width, meta.height) == (64, 48)
+
+
+def test_convert_format_cv2_fallback(demo_video, tmp_path, monkeypatch):
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    out = tmp_path / "conv.avi"
+    assert aud.convert_format(demo_video, out)
+    assert read_video(out).shape[0] == read_video(demo_video).shape[0]
+
+
+def test_add_subtitles_requires_ffmpeg(demo_video, tmp_path, monkeypatch):
+    monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
+    srt = tmp_path / "s.srt"
+    srt.write_text("1\n00:00:00,000 --> 00:00:01,000\nhi\n")
+    assert not aud.add_subtitles(demo_video, srt, tmp_path / "o.mp4")
+
+
 def test_extract_and_mux_report_false_without_ffmpeg(tmp_path, monkeypatch):
     monkeypatch.setattr(aud.shutil, "which", lambda *_: None)
     assert not aud.ffmpeg_available()

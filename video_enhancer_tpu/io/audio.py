@@ -1,4 +1,4 @@
-"""Audio handling: ffmpeg-backed passthrough with graceful degradation.
+"""Container-level video/audio utilities: ffmpeg-backed with cv2 fallbacks.
 
 The reference extracts/muxes/clips/concats audio through ffmpeg
 (reference utils/video_utils.py:137-281). OpenCV's VideoWriter (the only
@@ -18,7 +18,8 @@ import tempfile
 from pathlib import Path
 
 __all__ = ["ffmpeg_available", "has_audio_stream", "extract_audio",
-           "mux_audio", "passthrough_audio", "clip_video", "concat_videos"]
+           "mux_audio", "passthrough_audio", "clip_video", "concat_videos",
+           "resize_video", "convert_format", "add_subtitles"]
 
 _TIMEOUT = 300
 
@@ -144,3 +145,62 @@ def concat_videos(paths, out_path) -> bool:
     frames = [read_video(p) for p in paths]
     write_video(out_path, np.concatenate(frames, axis=0), fps=meta.fps)
     return True
+
+
+def resize_video(source_path, out_path, width: int, height: int) -> bool:
+    """Rescale a video container-side (reference video_utils.py:168-199).
+    ffmpeg scale filter when available (keeps audio); cv2 re-encode
+    fallback (video only)."""
+    if ffmpeg_available():
+        return _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
+                     "-vf", f"scale={int(width)}:{int(height)}",
+                     "-c:a", "copy", str(out_path)])
+    import cv2
+
+    from .video import VideoWriter, get_video_metadata, read_video
+
+    meta = get_video_metadata(source_path)
+    frames = read_video(source_path)
+    if frames.shape[0] == 0:
+        return False
+    with VideoWriter(out_path, size_hw=(int(height), int(width)),
+                     fps=meta.fps) as wr:
+        for f in frames:
+            wr.write(cv2.resize(f, (int(width), int(height)),
+                                interpolation=cv2.INTER_AREA))
+    return True
+
+
+def convert_format(source_path, out_path) -> bool:
+    """Re-container / transcode to the format implied by ``out_path``'s
+    extension (reference video_utils.py convert path). ffmpeg stream-copy
+    first, transcode on failure; cv2 re-encode fallback (video only)."""
+    if ffmpeg_available():
+        if _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
+                 "-c", "copy", str(out_path)]):
+            return True
+        return _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
+                     str(out_path)])
+    from .video import get_video_metadata, read_video, write_video
+
+    meta = get_video_metadata(source_path)
+    frames = read_video(source_path)
+    if frames.shape[0] == 0:
+        return False
+    write_video(out_path, frames, fps=meta.fps)
+    return True
+
+
+def add_subtitles(source_path, subtitle_path, out_path,
+                  burn_in: bool = False) -> bool:
+    """Attach (or burn in) a subtitle file (reference
+    video_utils.py:243-262). Requires ffmpeg — there is no cv2 fallback
+    for subtitle streams; returns False when unavailable."""
+    if not ffmpeg_available():
+        return False
+    if burn_in:
+        return _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
+                     "-vf", f"subtitles={subtitle_path}", str(out_path)])
+    return _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
+                 "-i", str(subtitle_path), "-c", "copy", "-c:s", "mov_text",
+                 str(out_path)])

@@ -44,7 +44,7 @@ def _block_init(key, dim, state_dim, heads, mixer="ssd"):
     ks = jax.random.split(key, 8)
     if mixer == "attentive":
         # MambaIRv2-style backbone (reference mambairv2_blocks.py:35-139,
-        # selected by PREFERRED_BACKBOND env at model_config.py:108 but
+        # selected by PREFERRED_BACKBONE env at model_config.py:108 but
         # never wired into a handler there — here it is routable).
         spatial = attentive_ssm_init(ks[0], dim)
     else:
