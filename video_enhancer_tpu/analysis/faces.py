@@ -7,7 +7,10 @@ downloads). Detector chain here:
 
 1. ``cv2.FaceDetectorYN`` if an ONNX model is provided via
    ``FACE_DETECTOR_ONNX`` (the modern OpenCV detector);
-2. a self-contained skin-tone blob heuristic (YCrCb skin mask ->
+2. the bundled neural detector (analysis/face_net.py — CenterNet-style
+   center-heatmap net trained on procedural synthetic scenes,
+   train/face_detector.py) when ``weights/face_detector.npz`` exists;
+3. a self-contained skin-tone blob heuristic (YCrCb skin mask ->
    connected components -> aspect/size filters) — crude but dependency-free.
 
 Returns boxes as ``(x, y, w, h)`` ints.
@@ -43,6 +46,54 @@ def _yn_detector(size_wh):
         return _yn
     except Exception:
         _yn_failed = True
+        return None
+
+
+_nn = None
+_nn_failed = False
+
+
+def _nn_detector():
+    """Lazy (params, jitted forward) for the bundled neural detector."""
+    global _nn, _nn_failed
+    if _nn_failed:
+        return None
+    if _nn is None:
+        import pathlib
+
+        path = (pathlib.Path(__file__).resolve().parents[1]
+                / "weights" / "face_detector.npz")
+        if not path.exists():
+            _nn_failed = True
+            return None
+        try:
+            import jax
+
+            from ..runtime.weights import try_load_params
+            from . import face_net
+
+            params = face_net.init(jax.random.PRNGKey(0))
+            loaded = try_load_params(path, params)
+            if loaded is None:
+                _nn_failed = True
+                return None
+            _nn = (loaded, jax.jit(face_net.apply))
+        except Exception:
+            _nn_failed = True
+            return None
+    return _nn
+
+
+def _nn_faces(frame: np.ndarray) -> list[tuple[int, int, int, int]] | None:
+    det = _nn_detector()
+    if det is None:
+        return None
+    from . import face_net
+
+    params, fwd = det
+    try:
+        return face_net.detect(params, frame, forward=fwd)
+    except Exception:
         return None
 
 
@@ -86,6 +137,9 @@ def detect_faces(frame: np.ndarray) -> list[tuple[int, int, int, int]]:
             return []
         except Exception:
             pass
+    nn_boxes = _nn_faces(frame)
+    if nn_boxes is not None:
+        return nn_boxes
     return _skin_blob_faces(frame)
 
 
