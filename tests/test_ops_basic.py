@@ -155,6 +155,29 @@ def test_flow_warp_identity_and_shift():
     assert np.allclose(out[:-1], np.asarray(img)[1:], atol=1e-6)
 
 
+def test_flow_warp_packings_match_grid_sample():
+    """Both gather packings (1-gather 4C for C<=32, 2-gather 2C above)
+    must equal the per-pixel grid_sample reference on fractional flows."""
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops.warp import flow_warp, grid_sample
+
+    rng = np.random.default_rng(3)
+    for c in (3, 64):  # exercises each branch
+        img = jnp.asarray(rng.random((2, 9, 11, c), dtype=np.float32))
+        flow = jnp.asarray(
+            (rng.random((2, 9, 11, 2), dtype=np.float32) - 0.5) * 6.0)
+        out = np.asarray(flow_warp(img, flow))
+        yy = np.arange(9, dtype=np.float32)[:, None]
+        xx = np.arange(11, dtype=np.float32)[None, :]
+        for b in range(2):
+            coords = jnp.asarray(
+                np.stack([yy + np.asarray(flow)[b, ..., 0],
+                          xx + np.asarray(flow)[b, ..., 1]], axis=-1))
+            ref = np.asarray(grid_sample(img[b], coords))
+            assert np.allclose(out[b], ref, atol=1e-5), f"C={c}"
+
+
 def test_overlap_add_blend_uniform():
     import jax.numpy as jnp
 

@@ -46,12 +46,16 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     img: ``(..., H, W, C)``; flow: ``(..., H, W, 2)`` as (dy, dx) —
     ``out[y, x] = img[y + dy, x + dx]`` (bilinear, border clamp).
 
-    TPU formulation: the (v00, v01) columns are packed channel-wise (the
-    image concatenated with its x-shifted copy), so each bilinear sample is
-    TWO row-gathers of 2C channels instead of four of C. Gathers here are
-    byte-bound, and half the gathered rows' bytes are the interpolation
-    neighborhood either way, but the 4-gather form was measured ~2x slower
-    (per-gather index overhead dominates row width at C = 64).
+    TPU formulation: gathers here are index-bound at small C, so the four
+    bilinear corners are packed channel-wise and fetched with as few
+    gathers as the row width allows:
+
+    - ``C <= 32``: ONE gather of 4C channels per pixel — the image
+      concatenated with its x-, y-, and xy-shifted copies (edge clamp), so
+      the single row at (y0, x0) holds all four corners. Measured on v5e at
+      8x360p: 1.5x faster than two gathers at C=3, 3.2x at C=16.
+    - larger C: TWO gathers of 2C channels (x-pair packing only) — the
+      4C rows get byte-bound and packing stops paying (tie at C=64).
     """
     if img.ndim == 3:
         out = flow_warp(img[None], flow[None])
@@ -73,12 +77,26 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     wy = (y - y0)[..., None].astype(img.dtype)
     wx = (x - x0)[..., None].astype(img.dtype)
 
-    # (img, img shifted one column left with edge clamp): one row-gather at
-    # (y, x0) then yields both v.0 = img[y, x0] and v.1 = img[y, x0+1|clamp].
-    packed = jnp.concatenate(
-        [img, jnp.pad(img[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)),
-                      mode="edge")], axis=-1)
-    flat = packed.reshape(B, H * W, 2 * C)
+    # img with its x-shifted copy: row (y, x0) holds v.0 = img[y, x0] and
+    # v.1 = img[y, x0+1|clamp].
+    xs = jnp.pad(img[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)),
+                 mode="edge")
+
+    if C <= 32:
+        ys = jnp.pad(img[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)),
+                     mode="edge")
+        xys = jnp.pad(xs[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)),
+                      mode="edge")
+        flat = jnp.concatenate([img, xs, ys, xys],
+                               axis=-1).reshape(B, H * W, 4 * C)
+        idx = (y0 * W + x0).reshape(B, H * W)
+        r = jnp.take_along_axis(flat, idx[..., None],
+                                axis=1).reshape(B, H, W, 4 * C)
+        top = r[..., :C] * (1 - wx) + r[..., C:2 * C] * wx
+        bot = r[..., 2 * C:3 * C] * (1 - wx) + r[..., 3 * C:] * wx
+        return top * (1 - wy) + bot * wy
+
+    flat = jnp.concatenate([img, xs], axis=-1).reshape(B, H * W, 2 * C)
 
     def take(yi):
         idx = (yi * W + x0).reshape(B, H * W)
