@@ -62,3 +62,28 @@ def test_attention_with_bias():
     out = attention(q, k, v, bias=bias)
     ref = attention_ref(q, k, v, bias=bias)
     assert np.allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_site_attention_matches_reference():
+    """The broadcast (lane-preserving) form must equal per-head attention
+    exactly: q (N,T,C) with `heads` -> same result as attention_ref on the
+    (N, heads, T, dh) layout."""
+    import jax
+
+    from video_enhancer_tpu.ops.attention import attention_ref, site_attention
+
+    n, t, tg, c, heads = 6, 5, 7, 32, 4
+    dh = c // heads
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (n, t, c))
+    k = jax.random.normal(ks[1], (n, tg, c))
+    v = jax.random.normal(ks[2], (n, tg, c))
+
+    out = site_attention(q, k, v, heads)
+
+    def mh(z):
+        return z.reshape(n, z.shape[1], heads, dh).transpose(0, 2, 1, 3)
+
+    ref = attention_ref(mh(q), mh(k), mh(v))
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(n, t, c))
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-5

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..ops.attention import attention_ref
+from ..ops.attention import site_attention
 from ..ops.warp import flow_warp
 from .diffusion import make_schedule, unet_apply, unet_init
 
@@ -72,12 +72,10 @@ def _tc_apply(p, clip, heads=4, time_axis=None):
         k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
 
-    def mh(z):
-        return z.reshape(z.shape[0], z.shape[1], heads,
-                         d // heads).transpose(0, 2, 1, 3)
-
-    a = attention_ref(mh(q), mh(k), mh(v))
-    a = a.transpose(0, 2, 1, 3).reshape(b * h * w, t, d)
+    # Broadcast-form per-site temporal MHA (ops/attention.py:site_attention)
+    # — T is tiny and dh = d/heads is far below the 128-lane tile, so
+    # per-head matmul layouts would waste the MXU.
+    a = site_attention(q, k, v, heads)
     seq = seq + nn.dense_apply(p["attn_out"], a)
     feats = seq.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
 

@@ -30,6 +30,7 @@ from ..nn.ssm import (attentive_ssm_apply, attentive_ssm_init, bissd_apply,
                       bissd_init, bissm_apply, bissm_apply_sharded,
                       bissm_init)
 from ..ops import pixel_shuffle, resize
+from ..ops.attention import site_attention
 from ..ops.warp import flow_warp
 
 __all__ = ["init", "apply", "default_config"]
@@ -111,10 +112,10 @@ def _spatial_ssm(p, x, impl, mixer: str = "ssd"):
 def _temporal_mix(blk, x, heads, time_axis=None):
     """Batched temporal attention + temporal SSM over every spatial site.
 
-    T is tiny (a chunk of frames), so the attention is computed in a fully
-    elementwise broadcast form that keeps C as the lane (minor) dimension:
-    per-head matmul layouts put (T, dh) = (7, 16) in the native 8x128 tile,
-    which was measured ~10x slower than this formulation on v5e.
+    T is tiny (a chunk of frames), so the attention runs in the shared
+    broadcast form (ops/attention.py:site_attention) that keeps C as the
+    lane (minor) dimension: per-head matmul layouts put (T, dh) = (7, 16)
+    in the native 8x128 tile, measured ~10x slower on v5e.
 
     With ``time_axis`` (inside shard_map over a T-sharded clip) the
     attention stays EXACT: queries are local, keys/values are all-gathered
@@ -122,23 +123,14 @@ def _temporal_mix(blk, x, heads, time_axis=None):
     temporal SSM runs the distributed prefix-combine scans.
     """
     b, t, h, w, c = x.shape
-    dh = c // heads
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-    n = seq.shape[0]
 
     qkv = nn.dense_apply(blk["qkv"], seq)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if time_axis is not None:
         k = jax.lax.all_gather(k, time_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, time_axis, axis=1, tiled=True)
-    tg = k.shape[1]
-    # scores[n,q,k,h] = sum_d q[n,q,(h,d)] * k[n,k,(h,d)]
-    prod = (q[:, :, None, :] * k[:, None, :, :]).reshape(n, t, tg, heads, dh)
-    scores = prod.sum(-1).astype(jnp.float32)            # (N,T,Tg,h)
-    probs = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(dh)),
-                           axis=2).astype(v.dtype)
-    pc = jnp.repeat(probs, dh, axis=-1)                  # (N,T,Tg,C)
-    attn = (pc * v[:, None, :, :]).sum(axis=2)           # (N,T,C)
+    attn = site_attention(q, k, v, heads)
     seq = seq + nn.dense_apply(blk["attn_out"], attn)
     # shared-stream fused bidir short-scan kernel (B = B*H*W is huge here).
     if time_axis is not None:

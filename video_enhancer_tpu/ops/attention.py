@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention", "attention_ref", "flash_attention"]
+__all__ = ["attention", "attention_ref", "flash_attention", "site_attention"]
 
 
 def attention_ref(q, k, v, bias=None, scale: float | None = None):
@@ -184,3 +184,24 @@ def attention(q, k, v, bias=None, scale: float | None = None):
             scale = q.shape[-1] ** -0.5
         return _flash_diffable(q, k, v, float(scale))
     return attention_ref(q, k, v, bias=bias, scale=scale)
+
+
+def site_attention(q, k, v, heads: int):
+    """Per-site short-sequence MHA in broadcast (lane-preserving) form.
+
+    ``q (N, T, C)``, ``k/v (N, Tg, C)`` -> ``(N, T, C)``. For tiny T and
+    dh = C/heads far below the 128-lane tile, per-head matmul layouts run
+    the MXU at a fraction of its lane width (measured ~10x slower than
+    this form at N = B*H*W on v5e — see models/vsrm.py:_temporal_mix).
+    All products stay elementwise with C minor; identical math to
+    ``attention_ref`` up to fp reduction order.
+    """
+    n, t, c = q.shape
+    tg = k.shape[1]
+    dh = c // heads
+    prod = (q[:, :, None, :] * k[:, None, :, :]).reshape(n, t, tg, heads, dh)
+    scores = prod.sum(-1).astype(jnp.float32)             # (N,T,Tg,h)
+    probs = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(dh)),
+                           axis=2).astype(v.dtype)
+    pc = jnp.repeat(probs, dh, axis=-1)                   # (N,T,Tg,C)
+    return (pc * v[:, None, :, :]).sum(axis=2)            # (N,T,C)
