@@ -186,7 +186,7 @@ def attention(q, k, v, bias=None, scale: float | None = None):
     return attention_ref(q, k, v, bias=bias, scale=scale)
 
 
-def site_attention(q, k, v, heads: int):
+def site_attention_ref(q, k, v, heads: int):
     """Per-site short-sequence MHA in broadcast (lane-preserving) form.
 
     ``q (N, T, C)``, ``k/v (N, Tg, C)`` -> ``(N, T, C)``. For tiny T and
@@ -205,3 +205,94 @@ def site_attention(q, k, v, heads: int):
                            axis=2).astype(v.dtype)
     pc = jnp.repeat(probs, dh, axis=-1)                   # (N,T,Tg,C)
     return (pc * v[:, None, :, :]).sum(axis=2)            # (N,T,C)
+
+
+def _site_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
+    """One N-tile fully in VMEM: the broadcast form's (N,T,Tg,C)
+    intermediates never touch HBM (they are ~7x the i/o bytes at T=7)."""
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    tn, t_q, c = q.shape
+    t_k = k.shape[1]
+    dh = c // heads
+    for t in range(t_q):
+        sc = []
+        for s in range(t_k):
+            prod = q[:, t, :] * k[:, s, :]                      # (TN, C)
+            sc.append(prod.reshape(tn, heads, dh).sum(-1))      # (TN, h)
+        sc = jnp.stack(sc, axis=1) * scale                      # (TN, Tk, h)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        e = jnp.exp(sc - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)               # (TN, Tk, h)
+        acc = jnp.zeros((tn, c), jnp.float32)
+        for s in range(t_k):
+            pw = jnp.broadcast_to(p[:, s, :, None],
+                                  (tn, heads, dh)).reshape(tn, c)
+            acc = acc + pw * v[:, s, :]
+        o_ref[:, t, :] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "tile_n", "interpret"))
+def _site_attn_impl(q, k, v, heads, tile_n, interpret):
+    n, t, c = q.shape
+    tg = k.shape[1]
+    pad = (-n) % tile_n
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+    kernel = functools.partial(_site_attn_kernel, heads=heads,
+                               scale=(c // heads) ** -0.5)
+    out = pl.pallas_call(
+        kernel,
+        grid=((n + pad) // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tg, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tg, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + pad, t, c), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _site_attn_diffable(q, k, v, heads):
+    return _site_attn_impl(q, k, v, heads, 512, False)
+
+
+def _site_attn_fwd(q, k, v, heads):
+    return _site_attn_diffable(q, k, v, heads), (q, k, v)
+
+
+def _site_attn_bwd(heads, res, g):
+    _, vjp = jax.vjp(lambda *a: site_attention_ref(*a, heads=heads), *res)
+    return vjp(g)
+
+
+_site_attn_diffable.defvjp(_site_attn_fwd, _site_attn_bwd)
+
+
+def site_attention(q, k, v, heads: int):
+    """Per-site short-T MHA; fused Pallas kernel on TPU, broadcast form
+    elsewhere. See ``site_attention_ref`` for the layout rationale.
+
+    ``VETPU_SITE_ATTN_KERNEL=1`` opts into the fused kernel on TPU
+    (off by default until hardware-validated; interpret-mode numerics are
+    asserted in tests/test_ops_attention.py)."""
+    import os
+
+    n, t, c = q.shape
+    tg = k.shape[1]
+    small = t <= 16 and tg <= 16 and c <= 256 and c % heads == 0
+    enabled = os.environ.get("VETPU_SITE_ATTN_KERNEL", "0") == "1"
+    if enabled and small and n >= 4096 and jax.default_backend() == "tpu":
+        return _site_attn_diffable(q, k, v, heads)
+    return site_attention_ref(q, k, v, heads)
