@@ -197,6 +197,11 @@ def _ssd_kernel(a_ref, u_ref, dt_ref, b_ref, c_ref, y_ref, state,
         return jax.lax.dot_general(colA, colB, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
+    # B/C are shared across heads (groups=1): C B^T is head-independent,
+    # so the (Q,N)@(N,Q) matmul is hoisted out of the head loop.
+    CB = jax.lax.dot_general(Cc, Bc, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
     for h in range(H):
         a = a_ref[h, 0]
         u = u_ref[0, :, h * P:(h + 1) * P]               # (Q,P)
@@ -209,8 +214,6 @@ def _ssd_kernel(a_ref, u_ref, dt_ref, b_ref, c_ref, y_ref, state,
         xdt = (u.astype(jnp.float32) * dt_all[:, h:h + 1]).astype(u.dtype)
 
         # intra-chunk: ((C B^T) o exp(g_q - g_s) o mask) @ xdt
-        CB = jax.lax.dot_general(Cc, Bc, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
         ldiff = outer(g, ones_col) - outer(ones_col, g)  # g[q] - g[s]
         W = (CB * jnp.exp(jnp.where(causal, ldiff,
                                     -jnp.inf))).astype(u.dtype)
