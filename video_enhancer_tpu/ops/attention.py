@@ -209,28 +209,39 @@ def site_attention_ref(q, k, v, heads: int):
 
 def _site_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     """One N-tile fully in VMEM: the broadcast form's (N,T,Tg,C)
-    intermediates never touch HBM (they are ~7x the i/o bytes at T=7)."""
+    intermediates never touch HBM (they are ~7x the i/o bytes at T=7).
+
+    Mosaic constraints shape the code: every tensor keeps its 3-D
+    (TN, time, C) rank with unit/static middle slices — rank-changing
+    reshapes and (TN, heads, dh) regroupings do not lower. Per-head
+    channel selection uses constant lane masks."""
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
     tn, t_q, c = q.shape
     t_k = k.shape[1]
     dh = c // heads
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    masks = [(lane // dh == h).astype(jnp.float32) for h in range(heads)]
     for t in range(t_q):
-        sc = []
+        qt = q[:, t:t + 1, :]                               # (TN, 1, C)
+        probs = []
+        for h in range(heads):
+            cols = []
+            for s in range(t_k):
+                prod = qt * k[:, s:s + 1, :] * masks[h]
+                cols.append(jnp.sum(prod, axis=2, keepdims=True))
+            sc = jnp.concatenate(cols, axis=2) * scale      # (TN, 1, Tk)
+            m = jnp.max(sc, axis=2, keepdims=True)
+            e = jnp.exp(sc - m)
+            probs.append(e / jnp.sum(e, axis=2, keepdims=True))
+        acc = jnp.zeros((tn, 1, c), jnp.float32)
         for s in range(t_k):
-            prod = q[:, t, :] * k[:, s, :]                      # (TN, C)
-            sc.append(prod.reshape(tn, heads, dh).sum(-1))      # (TN, h)
-        sc = jnp.stack(sc, axis=1) * scale                      # (TN, Tk, h)
-        m = jnp.max(sc, axis=1, keepdims=True)
-        e = jnp.exp(sc - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)               # (TN, Tk, h)
-        acc = jnp.zeros((tn, c), jnp.float32)
-        for s in range(t_k):
-            pw = jnp.broadcast_to(p[:, s, :, None],
-                                  (tn, heads, dh)).reshape(tn, c)
-            acc = acc + pw * v[:, s, :]
-        o_ref[:, t, :] = acc.astype(o_ref.dtype)
+            pw = masks[0] * probs[0][:, :, s:s + 1]
+            for h in range(1, heads):
+                pw = pw + masks[h] * probs[h][:, :, s:s + 1]
+            acc = acc + pw * v[:, s:s + 1, :]
+        o_ref[:, t:t + 1, :] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "tile_n", "interpret"))
@@ -244,7 +255,7 @@ def _site_attn_impl(q, k, v, heads, tile_n, interpret):
         v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
     kernel = functools.partial(_site_attn_kernel, heads=heads,
                                scale=(c // heads) ** -0.5)
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=((n + pad) // tile_n,),
         in_specs=[
@@ -260,7 +271,7 @@ def _site_attn_impl(q, k, v, heads, tile_n, interpret):
         out_shape=jax.ShapeDtypeStruct((n + pad, t, c), q.dtype),
         interpret=interpret,
     )(q, k, v)
-    return out[:n]
+    return outs[:n]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
