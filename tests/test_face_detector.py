@@ -96,3 +96,22 @@ def test_detect_faces_chain_uses_nn_when_bundled(monkeypatch):
     monkeypatch.setattr(faces, "_nn_failed", True)
     out = faces.detect_faces(frame)
     assert isinstance(out, list)
+
+
+def test_nn_empty_falls_through_to_skin_blob(monkeypatch):
+    """An empty neural-tier result means "no detection", not "no faces":
+    the chain must consult the skin-blob heuristic (round-2 advisor;
+    reference face_restoration_expert.py:521,538 semantics)."""
+    from video_enhancer_tpu.analysis import faces
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    frame[8:56, 8:56] = (200, 140, 120)  # skin-toned square
+
+    monkeypatch.setattr(faces, "_nn_faces", lambda f: [])
+    sentinel = [(1, 2, 3, 4)]
+    monkeypatch.setattr(faces, "_skin_blob_faces", lambda f: sentinel)
+    assert faces.detect_faces(frame) is sentinel
+
+    # A non-empty neural result still wins (first-hit priority).
+    monkeypatch.setattr(faces, "_nn_faces", lambda f: [(5, 5, 10, 10)])
+    assert faces.detect_faces(frame) == [(5, 5, 10, 10)]

@@ -134,12 +134,17 @@ def detect_faces(frame: np.ndarray) -> list[tuple[int, int, int, int]]:
             _, faces = det.detect(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
             if faces is not None and len(faces):
                 return [tuple(int(v) for v in f[:4]) for f in faces]
-            return []
+            # Zero faces -> consult the next tier (reference semantics).
         except Exception:
             pass
     nn_boxes = _nn_faces(frame)
-    if nn_boxes is not None:
+    if nn_boxes:
         return nn_boxes
+    # Empty = "no detection", NOT "no faces": the net runs on a 128x128
+    # downscale where small faces in HD frames vanish, so (like the
+    # reference chain, face_restoration_expert.py:521,538, which only
+    # stops at the first detector that FINDS something) fall through to
+    # the skin-blob heuristic rather than silently reporting zero faces.
     return _skin_blob_faces(frame)
 
 

@@ -199,8 +199,16 @@ def add_subtitles(source_path, subtitle_path, out_path,
     if not ffmpeg_available():
         return False
     if burn_in:
+        # ffmpeg filter-arg quoting: wrap in single quotes with ' and \
+        # escaped — a path containing : , ' or [ ] otherwise splits the
+        # subtitles= filter expression.
+        esc = str(subtitle_path).replace("\\", "\\\\").replace("'", r"\'")
         return _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
-                     "-vf", f"subtitles={subtitle_path}", str(out_path)])
+                     "-vf", f"subtitles='{esc}'", str(out_path)])
+    # Soft-sub codec depends on the output container: mov_text is
+    # MP4/MOV-only and makes ffmpeg fail outright for .mkv/.webm.
+    ext = str(out_path).rsplit(".", 1)[-1].lower()
+    sub_codec = "mov_text" if ext in ("mp4", "m4v", "mov") else "srt"
     return _run(["ffmpeg", "-y", "-v", "error", "-i", str(source_path),
-                 "-i", str(subtitle_path), "-c", "copy", "-c:s", "mov_text",
+                 "-i", str(subtitle_path), "-c", "copy", "-c:s", sub_codec,
                  str(out_path)])

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.flops import record as flop_record
+
 __all__ = ["attention", "attention_ref", "flash_attention", "site_attention"]
 
 
@@ -146,6 +148,8 @@ def flash_attention(q, k, v, scale: float | None = None,
         scale = q.shape[-1] ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    B, H, Lq, Dh = q.shape
+    flop_record(4.0 * B * H * Lq * k.shape[2] * Dh)
 
     def _clamp(block, length):
         # Block must not exceed the (padded) sequence; keep sublane alignment.
@@ -311,12 +315,20 @@ def site_attention(q, k, v, heads: int):
     selection does heads-times redundant VPU work, so the broadcast form
     is the default. The kernel is kept as the starting point for a
     dh-blocked variant (numerics asserted in tests)."""
-    import os
-
     n, t, c = q.shape
     tg = k.shape[1]
     small = t <= 16 and tg <= 16 and c <= 256 and c % heads == 0
-    enabled = os.environ.get("VETPU_SITE_ATTN_KERNEL", "0") == "1"
-    if enabled and small and n >= 4096 and jax.default_backend() == "tpu":
+    if (_SITE_ATTN_KERNEL and small and n >= 4096
+            and jax.default_backend() == "tpu"):
+        flop_record(4.0 * n * t * tg * c)
         return _site_attn_diffable(q, k, v, heads)
     return site_attention_ref(q, k, v, heads)
+
+
+# Read ONCE at import: the flag selects a code path inside jitted model
+# functions, so a mid-process toggle could never take effect after the
+# first compilation anyway (the cached executable would ignore it).
+# Process-start semantics make the behavior honest.
+import os  # noqa: E402
+
+_SITE_ATTN_KERNEL = os.environ.get("VETPU_SITE_ATTN_KERNEL", "0") == "1"

@@ -35,6 +35,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.flops import record as flop_record
+
+
+def _scan_flops(B, L, Dd, N, streams: int = 1) -> float:
+    """Analytic FLOPs of one selective-scan stream: per (b, l, d, n) the
+    recurrence costs ~9 FLOPs (decay exp ~2, state mult-add 3, drive 2,
+    C-contraction MAC 2) plus the D*x skip."""
+    return streams * (9.0 * B * L * Dd * N + 2.0 * B * L * Dd)
+
+
 __all__ = [
     "selective_scan",
     "selective_scan_ref",
@@ -296,6 +306,7 @@ def selective_scan_pallas_short(x, dt, A, Bmat, C, D, h0=None,
     N = A.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    flop_record(_scan_flops(B, L, Dd, N))
     if h0 is None and not need_state:
         return _short_nostate_diffable(x, dt, A, Bmat, C, D), None
     if h0 is None:
@@ -493,6 +504,8 @@ def selective_scan_bidir(xf, dtf, Af, Bf, Cf, Df,
     Returns (y_forward, y_backward), both in natural order. Differentiable
     (reference-impl backward).
     """
+    flop_record(_scan_flops(xf.shape[0], xf.shape[1], xf.shape[2],
+                            Af.shape[1], streams=2))
     if interpret is not None and interpret:
         return _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
                                           xb, dtb, Ab, Bb, Cb, Db,
@@ -579,6 +592,7 @@ def selective_scan_pallas(x, dt, A, Bmat, C, D, h0=None, interpret=None):
         h0 = jnp.zeros((B, Dd, N), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    flop_record(_scan_flops(B, L, Dd, N))
     return _selective_scan_pallas_impl(x, dt, A, Bmat, C, D, h0, interpret=interpret)
 
 
@@ -761,6 +775,8 @@ def selective_scan_bidir_shared(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
                                       u, dtb, Ab, Bm, Cm, Db,
                                       interpret=interpret)
         return yf + yb
+    flop_record(_scan_flops(u.shape[0], u.shape[1], u.shape[2],
+                            Af.shape[1], streams=2))
     if interpret is not None and interpret:
         return _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
                                        interpret=True)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.flops import record as flop_record
+
 __all__ = ["ssd_ref", "ssd", "ssd_shared", "ssd_chunk_size"]
 
 
@@ -336,5 +338,15 @@ def ssd_shared(x, dt, A, Bm, Cm, chunk: int = 256, reverse: bool = False,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
+        b, L, H, P = x.shape
+        N = Bm.shape[-1]
+        Q = min(chunk, ssd_chunk_size(L, chunk))
+        K = -(-L // Q)
+        # Matmul terms per (batch, chunk): CB (2Q^2 N, hoisted out of the
+        # head loop) + per head: intra W@xdt (2Q^2 P), tri-cumsum (2Q^2),
+        # inter Cg@state + state update (4QNP).
+        flop_record(b * K * (2.0 * Q * Q * N
+                             + H * (2.0 * Q * Q * (P + 1)
+                                    + 4.0 * Q * N * P)))
         return _ssd_shared_diffable(x, dt, A, Bm, Cm, chunk, reverse)
     return _ssd_shared_jnp(x, dt, A, Bm, Cm, chunk=chunk, reverse=reverse)

@@ -73,10 +73,16 @@ def build_handler(name: str, policy: Policy | None = None, seed: int = 0):
         return handler
 
 
-def _load_or_init(name: str, entry, init_fn, **kw):
+def _load_or_init(name: str, entry, init_fn, variant: str = "", **kw):
     """Weight resolution chain: policy path -> bundled weights -> random
     init (reference vsrm_handler.py:260-410 chain, minus network downloads
-    — no egress)."""
+    — no egress).
+
+    ``variant`` (e.g. the vsrm spatial-mixer name for non-default mixers)
+    is baked into the bundled filename, so a checkpoint trained for one
+    architecture variant is never leniently merged into another — the
+    round-2 advisor found the attentive mixer silently serving ssd-trained
+    temporal/upsample weights over a random spatial mixer."""
     import pathlib
 
     key = jax.random.PRNGKey(abs(hash(name)) % (2**31))
@@ -85,9 +91,10 @@ def _load_or_init(name: str, entry, init_fn, **kw):
     if entry is not None and entry.weights_path:
         candidates.append(entry.weights_path)
     scale = entry.scale if entry is not None else kw.get("scale", 4)
+    stem = f"{name}_{variant}" if variant else name
     candidates.append(
         pathlib.Path(__file__).resolve().parents[1] / "weights"
-        / f"{name}_{scale}x.npz"
+        / f"{stem}_{scale}x.npz"
     )
     from .weights import try_load_params
 
@@ -162,9 +169,10 @@ def _build(name: str, policy: Policy, seed: int):
         ).lower()
         mixer = "attentive" if backbone in ("mambairv2", "attentive") \
             else "ssd"
-        params, _ = _load_or_init(name, entry, m.init, dim=dim,
-                                  num_blocks=blocks, scale=entry.scale,
-                                  mixer=mixer)
+        params, _ = _load_or_init(name, entry, m.init,
+                                  variant="" if mixer == "ssd" else mixer,
+                                  dim=dim, num_blocks=blocks,
+                                  scale=entry.scale, mixer=mixer)
         return VSRHandler(
             name,
             lambda p, x: m.apply(p, x, scale=entry.scale, mixer=mixer),
