@@ -87,23 +87,3 @@ def test_site_attention_matches_reference():
     ref = attention_ref(mh(q), mh(k), mh(v))
     ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(n, t, c))
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-5
-
-
-def test_site_attention_kernel_matches_reference():
-    """Fused Pallas site-attention kernel (interpret mode): ragged N
-    (padding path), Tq != Tk (gathered K/V), and the VSRM production
-    shape must all match the broadcast reference."""
-    import jax
-
-    from video_enhancer_tpu.ops.attention import (_site_attn_impl,
-                                                  site_attention_ref)
-
-    for (n, t, tg, c, heads, tile) in [(21, 4, 6, 32, 4, 8),
-                                       (40, 7, 7, 64, 4, 16)]:
-        ks = jax.random.split(jax.random.PRNGKey(n), 3)
-        q = jax.random.normal(ks[0], (n, t, c))
-        k = jax.random.normal(ks[1], (n, tg, c))
-        v = jax.random.normal(ks[2], (n, tg, c))
-        ref = np.asarray(site_attention_ref(q, k, v, heads))
-        out = np.asarray(_site_attn_impl(q, k, v, heads, tile, True))
-        assert np.max(np.abs(out - ref)) < 1e-5, (n, t, tg, c)

@@ -211,124 +211,18 @@ def site_attention_ref(q, k, v, heads: int):
     return (pc * v[:, None, :, :]).sum(axis=2)            # (N,T,C)
 
 
-def _site_attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_scr, *, heads,
-                      t_q, t_k, c, cp, scale):
-    """One N-tile fully in VMEM: the broadcast form's (N,T,Tg,C)
-    intermediates never touch HBM (they are ~7x the i/o bytes at T=7).
-
-    Mosaic constraints shape the code: refs are 2-D with the (time,
-    channel) axes lanes-merged and each frame padded to a whole number of
-    128-lane tiles (``cp``), so every slice is tile-aligned 2-D — 3-D
-    formulations either fail to lower (shape casts) or spill hundreds of
-    MB of vregs. Frame slices are re-loaded from VMEM per use (cheap) to
-    keep the live register set flat; the accumulator lives in scratch."""
-    dh = c // heads
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
-    masks = [((lane // dh == h) & (lane < c)).astype(jnp.float32)
-             for h in range(heads)]
-    for t in range(t_q):
-        qt = q_ref[:, t * cp:(t + 1) * cp].astype(jnp.float32)
-        probs = []
-        for h in range(heads):
-            cols = []
-            for s in range(t_k):
-                ks = k_ref[:, s * cp:(s + 1) * cp].astype(jnp.float32)
-                cols.append(jnp.sum(qt * ks * masks[h], axis=1,
-                                    keepdims=True))
-            sc = jnp.concatenate(cols, axis=1) * scale      # (TN, Tk)
-            m = jnp.max(sc, axis=1, keepdims=True)
-            e = jnp.exp(sc - m)
-            probs.append(e / jnp.sum(e, axis=1, keepdims=True))
-        acc_scr[:, :] = jnp.zeros_like(acc_scr)
-        for s in range(t_k):
-            pw = masks[0] * probs[0][:, s:s + 1]
-            for h in range(1, heads):
-                pw = pw + masks[h] * probs[h][:, s:s + 1]
-            vs = v_ref[:, s * cp:(s + 1) * cp].astype(jnp.float32)
-            acc_scr[:, :] = acc_scr[:, :] + pw * vs
-        o_ref[:, t * cp:(t + 1) * cp] = acc_scr[:, :].astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("heads", "tile_n", "interpret"))
-def _site_attn_impl(q, k, v, heads, tile_n, interpret):
-    n, t, c = q.shape
-    tg = k.shape[1]
-    cp = -(-c // 128) * 128  # pad each frame to whole 128-lane tiles
-    pad = (-n) % tile_n
-
-    def prep(z):
-        tt = z.shape[1]
-        z = jnp.pad(z, ((0, pad), (0, 0), (0, cp - c)))
-        return z.reshape(n + pad, tt * cp)
-
-    kernel = functools.partial(_site_attn_kernel, heads=heads, t_q=t,
-                               t_k=tg, c=c, cp=cp,
-                               scale=(c // heads) ** -0.5)
-    out = pl.pallas_call(
-        kernel,
-        grid=((n + pad) // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, t * cp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tg * cp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tg * cp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_n, t * cp), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n + pad, t * cp), q.dtype),
-        scratch_shapes=[pltpu.VMEM((tile_n, cp), jnp.float32)],
-        interpret=interpret,
-    )(prep(q), prep(k), prep(v))
-    return out.reshape(n + pad, t, cp)[:n, :, :c]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _site_attn_diffable(q, k, v, heads):
-    # tile_n=128: the t*heads*t_k unrolled loops spill vregs roughly
-    # linearly in the tile; 128 keeps the kernel inside the 16M scoped
-    # VMEM budget at T=8 heads=4 (256 was 27M).
-    return _site_attn_impl(q, k, v, heads, 128, False)
-
-
-def _site_attn_fwd(q, k, v, heads):
-    return _site_attn_diffable(q, k, v, heads), (q, k, v)
-
-
-def _site_attn_bwd(heads, res, g):
-    _, vjp = jax.vjp(lambda *a: site_attention_ref(*a, heads=heads), *res)
-    return vjp(g)
-
-
-_site_attn_diffable.defvjp(_site_attn_fwd, _site_attn_bwd)
-
-
 def site_attention(q, k, v, heads: int):
-    """Per-site short-T MHA; fused Pallas kernel on TPU, broadcast form
-    elsewhere. See ``site_attention_ref`` for the layout rationale.
+    """Per-site short-T MHA in the XLA broadcast form (the one
+    implementation; see ``site_attention_ref`` for the layout rationale).
 
-    ``VETPU_SITE_ATTN_KERNEL=1`` opts into the fused Pallas kernel.
-    Measured on v5e at the VSRM shape (57600,7,64)h4: kernel 10.2 ms vs
-    broadcast form 3.6 ms — XLA's fusion of the broadcast form is already
-    near the HBM roofline, while the kernel's lane-masked per-head
-    selection does heads-times redundant VPU work, so the broadcast form
-    is the default. The kernel is kept as the starting point for a
-    dh-blocked variant (numerics asserted in tests)."""
-    n, t, c = q.shape
-    tg = k.shape[1]
-    small = t <= 16 and tg <= 16 and c <= 256 and c % heads == 0
-    if (_SITE_ATTN_KERNEL and small and n >= 4096
-            and jax.default_backend() == "tpu"):
-        flop_record(4.0 * n * t * tg * c)
-        return _site_attn_diffable(q, k, v, heads)
+    Two fused Pallas kernels were built and measured against it on v5e at
+    the VSRM shape (57600, 7, 64) heads=4 and BOTH lost to XLA's fusion
+    of the broadcast form (3.6 ms): a lane-masked per-head variant
+    (10.2 ms — heads-times redundant VPU work) and a dh-blocked variant
+    reducing head slices with tiny 0/1 matmuls (13.2 ms — MXU passes with
+    a 4-lane output dimension are ~free FLOPs but not free cycles). The
+    broadcast form keeps C as the lane dimension, every product stays
+    elementwise, and XLA fuses it to near the HBM roofline — so the
+    round-2 opt-in kernel (VETPU_SITE_ATTN_KERNEL) is retired rather than
+    shipped as dead weight."""
     return site_attention_ref(q, k, v, heads)
-
-
-# Read ONCE at import: the flag selects a code path inside jitted model
-# functions, so a mid-process toggle could never take effect after the
-# first compilation anyway (the cached executable would ignore it).
-# Process-start semantics make the behavior honest.
-import os  # noqa: E402
-
-_SITE_ATTN_KERNEL = os.environ.get("VETPU_SITE_ATTN_KERNEL", "0") == "1"

@@ -238,6 +238,119 @@ def _ssd_kernel(a_ref, u_ref, dt_ref, b_ref, c_ref, y_ref, state,
         y_ref[0, :, h * P:(h + 1) * P] = y.astype(y_ref.dtype)
 
 
+def _ssd_batched_kernel(a_ref, u_ref, dt_ref, b_ref, c_ref, y_ref, state,
+                        *, Q, N, P, H, B, reverse=False):
+    """Whole-batch chunk program: grid (K,) sequential with the FULL batch
+    in every block and python-unrolled (b, h) loops. The per-(batch,chunk)
+    grid of ``_ssd_kernel`` ran B*K programs whose ~us-scale setup swamped
+    the sub-us of MXU work per program (measured 27% faster at the VSRM
+    shape, B=7 L=57600: 2.01 vs 2.76 ms per direction at Q=256). States
+    for all batches live in one VMEM scratch (B*N, H*P)."""
+    ki = pl.program_id(0)
+
+    @pl.when(ki == 0)
+    def _init():
+        state[:, :] = jnp.zeros_like(state)
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
+    causal = (qi <= si) if reverse else (qi >= si)
+    tri = causal.astype(jnp.float32)
+    ones_col = jnp.ones((Q, 1), jnp.float32)
+
+    def outer(colA, colB):  # (Q,1),(Q,1) -> (Q,Q): colA[q] * colB[s]
+        return jax.lax.dot_general(colA, colB, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    for bi in range(B):
+        Bc = b_ref[bi]                                   # (Q,N)
+        Cc = c_ref[bi]                                   # (Q,N)
+        dt_all = dt_ref[bi].astype(jnp.float32)          # (Q,H)
+        # B/C shared across heads: C B^T hoisted out of the head loop.
+        CB = jax.lax.dot_general(Cc, Bc, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        for h in range(H):
+            a = a_ref[h, 0]
+            u = u_ref[bi, :, h * P:(h + 1) * P]          # (Q,P)
+            dta = dt_all[:, h:h + 1] * a                 # (Q,1)
+            g = jax.lax.dot_general(tri, dta, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            G = jnp.sum(dta)
+            xdt = (u.astype(jnp.float32)
+                   * dt_all[:, h:h + 1]).astype(u.dtype)
+            ldiff = outer(g, ones_col) - outer(ones_col, g)
+            W = (CB * jnp.exp(jnp.where(causal, ldiff,
+                                        -jnp.inf))).astype(u.dtype)
+            y = jax.lax.dot_general(W, xdt, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            st = state[bi * N:(bi + 1) * N, h * P:(h + 1) * P]
+            Cg = (Cc.astype(jnp.float32) * jnp.exp(g)).astype(u.dtype)
+            y = y + jax.lax.dot_general(Cg, st.astype(u.dtype),
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            Bg = (Bc.astype(jnp.float32) * jnp.exp(G - g)).astype(u.dtype)
+            S_new = jax.lax.dot_general(Bg, xdt, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            state[bi * N:(bi + 1) * N, h * P:(h + 1) * P] = \
+                jnp.exp(G) * st + S_new
+            y_ref[bi, :, h * P:(h + 1) * P] = y.astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "chunk", "reverse",
+                                              "interpret"))
+def _ssd_shared_pallas_batched_impl(x, dt, A, Bm, Cm, heads, chunk=256,
+                                    reverse=False, interpret=False):
+    b, L, inner = x.shape
+    H = heads
+    P = inner // H
+    N = Bm.shape[-1]
+    Q = min(chunk, ssd_chunk_size(L, chunk))
+    pad = (-L) % Q
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        Bm = jnp.pad(Bm, ((0, 0), (0, pad), (0, 0)))
+        Cm = jnp.pad(Cm, ((0, 0), (0, pad), (0, 0)))
+    K = (L + pad) // Q
+
+    if reverse:
+        def seq_ix(ki):
+            return (0, K - 1 - ki, 0)
+    else:
+        def seq_ix(ki):
+            return (0, ki, 0)
+
+    kernel = functools.partial(_ssd_batched_kernel, Q=Q, N=N, P=P, H=H,
+                               B=b, reverse=reverse)
+    y = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((H, 1), lambda ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, Q, inner), seq_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, Q, H), seq_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, Q, N), seq_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, Q, N), seq_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, Q, inner), seq_ix,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, L + pad, inner), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b * N, inner), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(A.reshape(H, 1).astype(jnp.float32), x, dt.astype(jnp.float32),
+      Bm, Cm)
+    return y[:, :L]
+
+
+# Whole-batch blocks must fit VMEM with double buffering; above this the
+# per-(batch, chunk) grid is used instead.
+_BATCHED_BLOCK_BYTES = 4 << 20
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "chunk", "reverse",
                                               "interpret"))
 def _ssd_shared_pallas_impl(x, dt, A, Bm, Cm, heads, chunk=256,
@@ -306,9 +419,12 @@ def _ssd_shared_jnp(x, dt, A, Bm, Cm, chunk=256, reverse=False):
 def _ssd_shared_diffable(x, dt, A, Bm, Cm, chunk, reverse):
     b, L, H, P = x.shape
     interpret = jax.default_backend() != "tpu"
-    y = _ssd_shared_pallas_impl(x.reshape(b, L, H * P), dt, A, Bm, Cm,
-                                heads=H, chunk=chunk, reverse=reverse,
-                                interpret=interpret)
+    Q = min(chunk, ssd_chunk_size(L, chunk))
+    impl = (_ssd_shared_pallas_batched_impl
+            if b * Q * H * P * x.dtype.itemsize <= _BATCHED_BLOCK_BYTES
+            else _ssd_shared_pallas_impl)
+    y = impl(x.reshape(b, L, H * P), dt, A, Bm, Cm,
+             heads=H, chunk=chunk, reverse=reverse, interpret=interpret)
     return y.reshape(b, L, H, P)
 
 
