@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["flow_warp", "grid_sample"]
+__all__ = ["flow_warp", "flow_warp_local", "grid_sample"]
 
 
 def grid_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -108,3 +108,48 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     top = r0[..., :C] * (1 - wx) + r0[..., C:] * wx
     bot = r1[..., :C] * (1 - wx) + r1[..., C:] * wx
     return top * (1 - wy) + bot * wy
+
+
+def flow_warp_local(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp by a SUB-PIXEL flow (|flow| < 1) without gathers.
+
+    For |d| < 1 the bilinear corners lie in the 3x3 neighborhood, so the
+    warp is exactly a shift-and-blend: out = sum_{s in {-1,0,1}^2}
+    hat(dy - sy) * hat(dx - sx) * shift(img, sy, sx) with hat(u) =
+    max(0, 1 - |u|). Nine shifted elementwise multiply-adds — all XLA-
+    fusable VPU work — instead of the per-index gather cost that made
+    VSRM's deformable alignment 12 ms of its 133 ms clip (the trained
+    aligner's offsets measure p99 = 0.89 px, so the sub-pixel contract
+    matches what the model actually learned; the model clamps with tanh).
+
+    img: ``(..., H, W, C)``; flow: ``(..., H, W, 2)`` as (dy, dx).
+    Identical to ``flow_warp`` for |flow| < 1 (border clamp included).
+    """
+    ff = flow.astype(img.dtype)
+    dy = ff[..., 0:1]
+    dx = ff[..., 1:2]
+    out = jnp.zeros_like(img)
+    h_ax, w_ax = img.ndim - 3, img.ndim - 2
+
+    def shift(a, s, axis):
+        if s == 0:
+            return a
+        pad = [(0, 0)] * a.ndim
+        # out[i] = a[i + s] with edge clamp.
+        if s > 0:
+            pad[axis] = (0, s)
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(s, None)
+            return jnp.pad(a[tuple(sl)], pad, mode="edge")
+        pad[axis] = (-s, 0)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(None, s)
+        return jnp.pad(a[tuple(sl)], pad, mode="edge")
+
+    for sy in (-1, 0, 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))
+        row = shift(img, sy, h_ax)
+        for sx in (-1, 0, 1):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx))
+            out = out + wy * wx * shift(row, sx, w_ax)
+    return out
