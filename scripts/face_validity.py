@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Face-detector validity report: measure the claim boundary.
+
+The bundled neural face detector is trained on procedural synthetic
+scenes; the reference instead chains four pretrained real-world detectors
+(reference models/enhancement/face_restoration_expert.py:490-577). Under
+zero egress we cannot evaluate on real photos, so this report does the
+next honest thing (round-2 verdict "missing" #1): stratified evaluation
+over the conditions that matter — skin-tone band x face scale x occlusion
+— for (a) the bundled neural tier alone, (b) the full detect_faces chain
+(neural tier + skin-blob fallthrough), and (c) an external YuNet-ONNX
+detector when ``FACE_DETECTOR_ONNX`` points at one, reporting
+precision/recall and chain-vs-YuNet agreement per stratum.
+
+Writes docs/FACE_VALIDITY.json (committed). Routing consults the
+committed report: analysis/router.py keeps the face expert OFF in "auto"
+mode when the chain's worst-stratum recall is below the policy threshold
+(explicit enable_face_expert=True still overrides).
+
+Run: python scripts/face_validity.py [--n 48]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+if os.environ.get("VETPU_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+STRATA = [
+    # (name, scene kwargs)
+    ("light_large", dict(skin_band="light", scale_range=(0.15, 0.3))),
+    ("medium_large", dict(skin_band="medium", scale_range=(0.15, 0.3))),
+    ("deep_large", dict(skin_band="deep", scale_range=(0.15, 0.3))),
+    ("light_small", dict(skin_band="light", scale_range=(0.06, 0.12))),
+    ("medium_small", dict(skin_band="medium", scale_range=(0.06, 0.12))),
+    ("deep_small", dict(skin_band="deep", scale_range=(0.06, 0.12))),
+    ("occluded", dict(skin_band=None, scale_range=(0.12, 0.3),
+                      occlude_prob=1.0)),
+]
+
+
+def _yunet_detect_fn():
+    model = os.environ.get("FACE_DETECTOR_ONNX")
+    if not model or not os.path.exists(model):
+        return None
+    import cv2
+
+    if not hasattr(cv2, "FaceDetectorYN_create"):
+        return None
+    det = cv2.FaceDetectorYN_create(model, "", (128, 128))
+
+    def fn(frame):
+        det.setInputSize((frame.shape[1], frame.shape[0]))
+        _, faces = det.detect(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        if faces is None:
+            return []
+        return [tuple(int(v) for v in f[:4]) for f in faces]
+
+    return fn
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=48,
+                    help="scenes per stratum per detector")
+    ap.add_argument("--seed", type=int, default=31_337)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    from video_enhancer_tpu.analysis import face_net, faces
+    from video_enhancer_tpu.runtime.weights import try_load_params
+    from video_enhancer_tpu.train.face_detector import evaluate
+
+    weights = (pathlib.Path(__file__).resolve().parents[1]
+               / "video_enhancer_tpu" / "weights" / "face_detector.npz")
+    params = None
+    if weights.exists():
+        params = try_load_params(
+            weights, face_net.init(jax.random.PRNGKey(0)))
+    if params is None:
+        print("no bundled face_detector.npz; nothing to validate",
+              file=sys.stderr)
+        return 1
+
+    fwd = jax.jit(face_net.apply)
+    nn_fn = lambda frame: face_net.detect(params, frame, forward=fwd)
+    chain_fn = faces.detect_faces  # neural tier + skin-blob fallthrough
+    yunet_fn = _yunet_detect_fn()
+
+    report = {"n_per_stratum": args.n, "seed": args.seed,
+              "iou_thresh": 0.5, "strata": {}}
+    for name, kw in STRATA:
+        row = {}
+        r, p = evaluate(params, n=args.n, seed=args.seed, detect_fn=nn_fn,
+                        **kw)
+        row["nn"] = {"recall": round(r, 3), "precision": round(p, 3)}
+        r, p = evaluate(params, n=args.n, seed=args.seed,
+                        detect_fn=chain_fn, **kw)
+        row["chain"] = {"recall": round(r, 3), "precision": round(p, 3)}
+        if yunet_fn is not None:
+            r, p = evaluate(params, n=args.n, seed=args.seed,
+                            detect_fn=yunet_fn, **kw)
+            row["yunet"] = {"recall": round(r, 3), "precision": round(p, 3)}
+        report["strata"][name] = row
+        print(name, json.dumps(row), flush=True)
+
+    chain_recalls = [v["chain"]["recall"] for v in report["strata"].values()]
+    report["chain_min_recall"] = min(chain_recalls)
+    report["chain_mean_recall"] = round(float(np.mean(chain_recalls)), 3)
+    report["yunet_compared"] = yunet_fn is not None
+    report["caveat"] = (
+        "All strata are PROCEDURAL composites. Numbers bound behavior on "
+        "this distribution only; real-photo performance is unmeasured in "
+        "this zero-egress environment. Provide FACE_DETECTOR_ONNX (YuNet) "
+        "to cross-validate, and prefer that tier in production.")
+
+    out = args.out or (pathlib.Path(__file__).resolve().parents[1]
+                       / "docs" / "FACE_VALIDITY.json")
+    pathlib.Path(out).write_text(json.dumps(report, indent=1))
+    print(f"wrote {out}: chain_min_recall={report['chain_min_recall']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,7 +22,7 @@ import os
 
 import numpy as np
 
-__all__ = ["detect_faces", "face_area_ratio"]
+__all__ = ["detect_faces", "face_area_ratio", "face_chain_trusted"]
 
 _yn = None
 _yn_failed = False
@@ -157,3 +157,32 @@ def face_area_ratio(frames: np.ndarray, max_samples: int = 4) -> float:
         area = sum(w * h for (_, _, w, h) in detect_faces(f))
         ratios.append(area / (f.shape[0] * f.shape[1]))
     return float(np.mean(ratios)) if ratios else 0.0
+
+
+_TRUST_FLOOR = 0.5
+_trust_cache: dict = {}
+
+
+def face_chain_trusted(floor: float = _TRUST_FLOOR) -> bool:
+    """Whether the detector chain's committed validity report clears the
+    trust floor (worst-stratum recall >= ``floor``).
+
+    The report (docs/FACE_VALIDITY.json, scripts/face_validity.py) is the
+    measured claim boundary of the synthetic-trained detector. Missing
+    report = not trusted (conservative: face routing then requires an
+    explicit opt-in). An external YuNet detector (FACE_DETECTOR_ONNX) is
+    always trusted — it is a pretrained real-world detector."""
+    if os.environ.get("FACE_DETECTOR_ONNX") and not _yn_failed:
+        return True
+    if "min_recall" not in _trust_cache:
+        import json
+        import pathlib
+
+        path = (pathlib.Path(__file__).resolve().parents[2]
+                / "docs" / "FACE_VALIDITY.json")
+        try:
+            _trust_cache["min_recall"] = float(
+                json.loads(path.read_text())["chain_min_recall"])
+        except Exception:
+            _trust_cache["min_recall"] = -1.0
+    return _trust_cache["min_recall"] >= floor

@@ -26,6 +26,7 @@ from ..config import LatencyClass, Policy, default_policy
 from ..io.video import get_video_metadata, sample_frames
 from ..ops.degradation import degradation_scores
 from ..utils.perf import get_tracker
+from .faces import face_chain_trusted
 
 __all__ = ["DegradationRouter"]
 
@@ -67,7 +68,15 @@ class DegradationRouter:
                 else latency_class
             defaults = self.policy.defaults
             if enable_face_expert is None:
-                enable_face_expert = defaults.enable_face_expert
+                # Auto mode defers to the measured validity of the face
+                # detector chain (docs/FACE_VALIDITY.json, written by
+                # scripts/face_validity.py): if its worst-stratum recall
+                # is below the trust floor, the face expert stays off —
+                # an explicit enable_face_expert=True still overrides.
+                # (The reference trusts its downloaded detectors blindly,
+                # face_restoration_expert.py:490-577.)
+                enable_face_expert = (defaults.enable_face_expert
+                                      and face_chain_trusted())
             if enable_hfr is None:
                 enable_hfr = defaults.enable_hfr
 

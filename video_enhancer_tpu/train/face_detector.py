@@ -20,12 +20,32 @@ import numpy as np
 from ..analysis.face_net import GRID, INPUT_SIZE, STRIDE
 
 
-def _draw_face(img, rng, cx, cy, ax, ay):
+# Skin-tone bands for training and validity evaluation (RGB multiplier
+# ranges). "light" matches the round-2 training distribution; "medium" and
+# "deep" extend it — the validity report (scripts/face_validity.py)
+# measures the detector per band so the claim boundary is explicit.
+SKIN_BANDS = {
+    "light": ((0.70, 0.95), (0.52, 0.75), (0.42, 0.65)),
+    "medium": ((0.45, 0.72), (0.32, 0.55), (0.22, 0.45)),
+    "deep": ((0.18, 0.45), (0.12, 0.34), (0.08, 0.28)),
+}
+
+
+def _sample_skin(rng, skin_band=None):
+    if skin_band is None:
+        # Training default: union of the bands (uniform band choice, then
+        # uniform within) so no band is out-of-distribution.
+        skin_band = ("light", "medium", "deep")[int(rng.integers(0, 3))]
+    (r0, r1), (g0, g1), (b0, b1) = SKIN_BANDS[skin_band]
+    return np.array([rng.uniform(r0, r1), rng.uniform(g0, g1),
+                     rng.uniform(b0, b1)], np.float32)
+
+
+def _draw_face(img, rng, cx, cy, ax, ay, skin_band=None, occlude=False):
     """Draw one procedural face; returns its (x, y, w, h) box."""
     import cv2
 
-    skin = np.array([rng.uniform(0.55, 0.95), rng.uniform(0.4, 0.75),
-                     rng.uniform(0.3, 0.65)], np.float32)
+    skin = _sample_skin(rng, skin_band)
     tilt = float(rng.uniform(-12, 12))
     cv2.ellipse(img, (cx, cy), (ax, ay), tilt, 0, 360, skin.tolist(), -1)
     hair = rng.uniform(0.02, 0.4, 3).tolist()
@@ -45,11 +65,34 @@ def _draw_face(img, rng, cx, cy, ax, ay):
     mw = max(int(ax * rng.uniform(0.35, 0.55)), 2)
     cv2.ellipse(img, (cx, cy + int(ay * 0.45)), (mw, max(mw // 3, 1)),
                 tilt, 0, 180, (float(rng.uniform(0.4, 0.8)), 0.15, 0.2), -1)
+    if occlude:
+        # Partial occluder (hand/pole/mask) over up to ~35% of the face.
+        oc = rng.uniform(0.1, 0.9, 3).tolist()
+        side = int(rng.integers(0, 3))
+        ow = max(int(2 * ax * rng.uniform(0.2, 0.35)), 2)
+        if side == 0:   # vertical bar across one side
+            x0 = cx + int(rng.choice((-1, 1)) * ax * 0.5)
+            cv2.rectangle(img, (x0 - ow // 2, cy - ay),
+                          (x0 + ow // 2, cy + ay), oc, -1)
+        elif side == 1:  # lower-face mask
+            cv2.rectangle(img, (cx - ax, cy + int(ay * 0.15)),
+                          (cx + ax, cy + int(ay * 0.7)), oc, -1)
+        else:            # corner blob
+            cv2.circle(img, (cx + int(ax * 0.6), cy - int(ay * 0.6)),
+                       max(int(ax * 0.45), 2), oc, -1)
     return (cx - ax, cy - ay, 2 * ax, 2 * ay)
 
 
-def make_face_scenes(n: int, size: int = INPUT_SIZE, seed: int = 0):
-    """Returns (imgs (n,size,size,3) float32, list of per-image box lists)."""
+def make_face_scenes(n: int, size: int = INPUT_SIZE, seed: int = 0,
+                     skin_band: str | None = None,
+                     scale_range: tuple[float, float] = (0.09, 0.3),
+                     occlude_prob: float = 0.0):
+    """Returns (imgs (n,size,size,3) float32, list of per-image box lists).
+
+    ``skin_band`` pins faces to one SKIN_BANDS entry (None = uniform over
+    all bands); ``scale_range`` bounds the face half-height as a fraction
+    of the image; ``occlude_prob`` partially occludes that fraction of
+    faces. The validity report strata use these knobs."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -78,14 +121,16 @@ def make_face_scenes(n: int, size: int = INPUT_SIZE, seed: int = 0):
 
         boxes = []
         for _ in range(int(rng.integers(0, 4))):
-            ay = int(size * rng.uniform(0.09, 0.3))
+            ay = int(size * rng.uniform(*scale_range))
             ax = max(int(ay * rng.uniform(0.7, 0.9)), 3)
             cx = int(rng.integers(ax + 1, size - ax - 1))
             cy = int(rng.integers(ay + 1, size - ay - 1))
             cand = (cx - ax, cy - ay, 2 * ax, 2 * ay)
             if any(_iou(cand, b) > 0.2 for b in boxes):
                 continue
-            boxes.append(_draw_face(img, rng, cx, cy, ax, ay))
+            boxes.append(_draw_face(
+                img, rng, cx, cy, ax, ay, skin_band=skin_band,
+                occlude=bool(rng.random() < occlude_prob)))
 
         # photometric jitter + degradations (match deployment conditions)
         img = img * (1.0 + 0.25 * np.linspace(-1, 1, size)[None, :, None]
@@ -131,18 +176,27 @@ def encode_targets(boxes_per_img, batch: int) -> tuple:
 
 
 def evaluate(params, n: int = 64, seed: int = 424_242,
-             iou_thresh: float = 0.5) -> tuple[float, float]:
-    """(recall, precision) at IoU 0.5 over held-out synthetic scenes."""
+             iou_thresh: float = 0.5, detect_fn=None,
+             **scene_kw) -> tuple[float, float]:
+    """(recall, precision) at IoU 0.5 over held-out synthetic scenes.
+
+    ``detect_fn(frame_u8) -> boxes`` overrides the bundled neural detector
+    (used by the validity report to score the full chain or an external
+    YuNet-ONNX detector on identical strata); ``scene_kw`` forwards
+    skin_band/scale_range/occlude_prob to ``make_face_scenes``."""
     import jax
 
     from ..analysis import face_net
 
-    fwd = jax.jit(face_net.apply)
-    imgs, gt = make_face_scenes(n, seed=seed)
+    if detect_fn is None:
+        fwd = jax.jit(face_net.apply)
+        detect_fn = lambda frame: face_net.detect(params, frame,
+                                                  forward=fwd)
+    imgs, gt = make_face_scenes(n, seed=seed, **scene_kw)
     tp = fp = fn = 0
     for i in range(n):
         frame = (imgs[i] * 255).astype(np.uint8)
-        det = face_net.detect(params, frame, forward=fwd)
+        det = detect_fn(frame)
         matched = set()
         for d in det:
             hit = None

@@ -39,9 +39,13 @@ def make_face_crops(n: int, size: int = FACE_SIZE, seed: int = 0
             w, h = rng.integers(8, size // 2, 2)
             img[y0:y0 + h, x0:x0 + w] = rng.uniform(0, 1, 3)
 
-        # head: skin-tone ellipse
-        skin = np.array([rng.uniform(0.55, 0.95), rng.uniform(0.4, 0.75),
-                         rng.uniform(0.3, 0.65)], np.float32)
+        # head: skin-tone ellipse, sampled uniformly over the same
+        # light/medium/deep bands the detector trains on (round-3: the
+        # round-2 range covered only the light band — see
+        # docs/FACE_VALIDITY.json for the measured consequence).
+        from .face_detector import _sample_skin
+
+        skin = _sample_skin(rng)
         cx = size // 2 + int(rng.integers(-8, 9))
         cy = size // 2 + int(rng.integers(-8, 9))
         ax = int(size * rng.uniform(0.28, 0.38))
