@@ -146,12 +146,17 @@ def bench_seedvr2():
 def bench_ditvr():
     from video_enhancer_tpu.models import ditvr
 
+    # heads=3 (dh=128, full MXU lane width) is the serving config
+    # (policy_v1.yaml) — a pure layout knob: param shapes unchanged,
+    # measured 1.67x faster than heads=6 and the bundled weights are
+    # fine-tuned under it (+4.41 dB held-out vs +1.23 at heads=6).
     t, s = 8, 224
-    params, _ = ditvr.init(jax.random.PRNGKey(0))
+    params, _ = ditvr.init(jax.random.PRNGKey(0), heads=3)
     pb = _bf16(params)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, s, s, 3),
                            jnp.bfloat16)
-    return _measure("ditvr_224_restore", lambda xx: ditvr.apply(pb, xx),
+    return _measure("ditvr_224_restore",
+                    lambda xx: ditvr.apply(pb, xx, heads=3),
                     (x,), t, REF_FPS["ditvr"], [1, t, s, s, 3],
                     n_small=2, n_large=6)
 

@@ -1,7 +1,11 @@
 """Bundled-weight quality gates: every shipped npz must beat its non-ML
 fallback on held-out synthetic pairs (match: the reference's weight chain,
 vsrm_handler.py:260-468, which silently degrades to random init — here the
-gain is asserted)."""
+gain is asserted). Round-3 thresholds = ~70% of each model's measured
+held-out gain (vsrm 2.94 / realesrgan 3.29 / rvrt 2.79 / fmv 2.11 /
+rife 11.89 / ditvr 4.41 / seedvr2 3.56 / face 0.99 / cnn 0.33 dB at the
+fixed eval seed), so a silent 2-3 dB weight-export regression fails CI
+instead of sailing past a 0.3 dB floor (round-2 verdict weak #3)."""
 
 import pathlib
 
@@ -46,7 +50,7 @@ def test_vsrm_weights_beat_bicubic(heldout_frames):
         lambda k: vsrm.init(k, dim=64, num_blocks=6, scale=4)[0:2],
         lambda p, x: vsrm.apply(p, x, scale=4, scan_impl="ref"),
         WEIGHTS / "vsrm_4x.npz", heldout_frames)
-    assert gain > 0.3, f"vsrm gain over bicubic only {gain:.2f} dB"
+    assert gain > 2.0, f"vsrm gain over bicubic only {gain:.2f} dB"
 
 
 def test_realesrgan_weights_beat_bicubic(heldout_frames):
@@ -61,7 +65,7 @@ def test_realesrgan_weights_beat_bicubic(heldout_frames):
     gain = _vsr_gain(
         lambda k: realesrgan.init(k, features=64, num_blocks=6),
         apply_clip, WEIGHTS / "realesrgan_4x.npz", heldout_frames)
-    assert gain > 0.3, f"realesrgan gain over bicubic only {gain:.2f} dB"
+    assert gain > 2.3, f"realesrgan gain over bicubic only {gain:.2f} dB"
 
 
 def test_rvrt_weights_beat_bicubic(heldout_frames):
@@ -71,7 +75,7 @@ def test_rvrt_weights_beat_bicubic(heldout_frames):
         lambda k: rvrt.init(k, dim=64, scale=4),
         lambda p, x: rvrt.apply(p, x, scale=4),
         WEIGHTS / "rvrt_4x.npz", heldout_frames)
-    assert gain > 0.1, f"rvrt gain over bicubic only {gain:.2f} dB"
+    assert gain > 1.9, f"rvrt gain over bicubic only {gain:.2f} dB"
 
 
 def test_rife_weights_beat_blend(heldout_frames):
@@ -89,23 +93,25 @@ def test_rife_weights_beat_blend(heldout_frames):
     mid = jnp.asarray(tri["hr"][:, 0])
     out = rife.interpolate_pair(loaded, f0, f1)
     gain = float(psnr(out, mid)) - float(psnr((f0 + f1) / 2, mid))
-    assert gain > 1.0, f"rife gain over blend only {gain:.2f} dB"
+    assert gain > 8.0, f"rife gain over blend only {gain:.2f} dB"
 
 
 def test_ditvr_weights_restore(heldout_frames):
+    # heads=3 is the serving config (policy_v1.yaml): the bundled weights
+    # are fine-tuned under the dh=128 layout.
     from video_enhancer_tpu.models import ditvr
 
     npz = WEIGHTS / "ditvr_1x.npz"
     if not npz.exists():
         pytest.skip("ditvr_1x.npz not bundled")
-    params, _ = ditvr.init(jax.random.PRNGKey(0))
+    params, _ = ditvr.init(jax.random.PRNGKey(0), heads=3)
     loaded = try_load_params(npz, params)
     assert loaded is not None
     batch = make_pairs(heldout_frames, 2, 4, 64, 1, seed=999)
     deg, clean = jnp.asarray(batch["lr"]), jnp.asarray(batch["hr"])
-    out = ditvr.apply(loaded, deg)
-    assert float(psnr(out, clean)) > float(psnr(deg, clean)), (
-        "ditvr restoration loses to identity")
+    out = ditvr.apply(loaded, deg, heads=3)
+    gain = float(psnr(out, clean)) - float(psnr(deg, clean))
+    assert gain > 3.0, f"ditvr restoration gain only {gain:.2f} dB"
 
 
 def test_seedvr2_weights_restore(heldout_frames):
@@ -121,7 +127,7 @@ def test_seedvr2_weights_restore(heldout_frames):
     deg, clean = jnp.asarray(batch["lr"]), jnp.asarray(batch["hr"])
     out = seedvr2.apply(loaded, deg)
     gain = float(psnr(out, clean)) - float(psnr(deg, clean))
-    assert gain > 0.3, f"seedvr2 restoration gain only {gain:.2f} dB"
+    assert gain > 2.5, f"seedvr2 restoration gain only {gain:.2f} dB"
 
 
 def test_face_restorer_weights_beat_degraded():
@@ -142,4 +148,35 @@ def test_face_restorer_weights_beat_degraded():
     out = _face_net_apply(loaded, jnp.asarray(deg))
     gain = float(psnr(out, jnp.asarray(clean))) - float(
         psnr(jnp.asarray(deg), jnp.asarray(clean)))
-    assert gain > 0.3, f"face restorer gain only {gain:.2f} dB"
+    assert gain > 0.7, f"face restorer gain only {gain:.2f} dB"
+
+
+def test_fast_mamba_vsr_weights_beat_bicubic(heldout_frames):
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+
+    gain = _vsr_gain(
+        lambda k: fmv.init(k, dim=48, num_layers=8, scale=4),
+        lambda p, x: fmv.apply(p, x, scale=4),
+        WEIGHTS / "fast_mamba_vsr_4x.npz", heldout_frames)
+    assert gain > 1.4, f"fast_mamba_vsr gain over bicubic only {gain:.2f} dB"
+
+
+def test_cnn_upscaler_weights_beat_bicubic(heldout_frames):
+    from video_enhancer_tpu.models import upscaler
+
+    npz = WEIGHTS / "cnn_upscaler_2x.npz"
+    if not npz.exists():
+        pytest.skip("cnn_upscaler_2x.npz not bundled")
+    params, _ = upscaler.init(jax.random.PRNGKey(0), features=128, scale=2,
+                              s2d=4)
+    loaded = try_load_params(npz, params)
+    assert loaded is not None
+    batch = make_pairs(heldout_frames, 2, 4, 128, 2, seed=999)
+    lr, hr = jnp.asarray(batch["lr"]), jnp.asarray(batch["hr"])
+    fr = lr.reshape((-1,) + lr.shape[2:])
+    out = upscaler.apply(loaded, fr, scale=2, s2d=4).reshape(
+        (lr.shape[0], lr.shape[1], hr.shape[2], hr.shape[3], 3))
+    base = jnp.clip(resize(lr, (hr.shape[2], hr.shape[3]), method="cubic"),
+                    0, 1)
+    gain = float(psnr(out, hr)) - float(psnr(base, hr))
+    assert gain > 0.2, f"cnn_upscaler gain over bicubic only {gain:.2f} dB"
