@@ -188,3 +188,52 @@ def test_overlap_add_blend_uniform():
     origins = jnp.asarray([[0, 0], [0, 4]])
     out = overlap_add_blend(tiles, origins, (8, 12), overlap=4)
     assert np.allclose(np.asarray(out), 5.0, atol=1e-5)
+
+
+def test_tiny_temporal_conv3d_matches_lax():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import conv as convmod
+
+    # (kt,1,1) conv with <=8 channels routes through the unrolled
+    # channel-broadcast FMA path — must equal the lax lowering exactly.
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 6, 5, 7, 3), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 1, 3, 4),
+                          jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(2), (4,), jnp.float32)
+    fast = convmod.conv3d(x, w, b)
+    import jax.lax as lax
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC")) + b
+    assert np.allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_rdb_scatter_form_matches_textbook():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models.realesrgan import _rdb_apply, _rdb_init
+    from video_enhancer_tpu.nn import core as nn
+
+    # The scatter (source-fused) RDB is an exact reassociation of the
+    # textbook concat form: conv_i(concat(srcs)) = sum_s conv(src_s,
+    # W_i[slice_s]).
+    convs = _rdb_init(jax.random.PRNGKey(0), 16, 8)
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 7, 16),
+                          jnp.float32)
+
+    def rdb_textbook(convs, x):
+        feats = [x]
+        for conv in convs[:-1]:
+            hh = jax.nn.leaky_relu(
+                nn.conv2d_apply(conv, jnp.concatenate(feats, -1)), 0.2)
+            feats.append(hh)
+        out = nn.conv2d_apply(convs[-1], jnp.concatenate(feats, -1))
+        return x + 0.2 * out
+
+    a = rdb_textbook(convs, h)
+    b = _rdb_apply(convs, h)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -32,13 +32,46 @@ def _rdb_init(key, feat, growth):
 
 
 def _rdb_apply(convs, x):
-    feats = [x]
-    for i, conv in enumerate(convs[:-1]):
-        h = jax.nn.leaky_relu(
-            nn.conv2d_apply(conv, jnp.concatenate(feats, axis=-1)), 0.2
-        )
-        feats.append(h)
-    out = nn.conv2d_apply(convs[-1], jnp.concatenate(feats, axis=-1))
+    """Residual dense block in scatter (source-fused) form.
+
+    The textbook form runs five convs whose outputs are growth=32 channels
+    wide — a quarter of the MXU's 128 output lanes — and concatenates
+    activations before each. This computes the SAME function (exact
+    reassociation, no retrain: conv_i(concat(srcs)) = sum_s conv(src_s,
+    W_i[slice_s])) but fuses, per source, all of its outgoing weight
+    slices into ONE wide conv (cout 192/160/128/96/64 for x/y1..y4), then
+    scatters slices of that output into each destination's pre-activation
+    accumulator. Full-lane MXU convs, no activation concats, identical
+    FLOPs. The weight concats are constant-folded by XLA (params are
+    trace constants)."""
+    n = len(convs)
+    feat = convs[0]["w"].shape[2]
+    growth = convs[0]["w"].shape[3]
+    acc = [None] * n
+
+    def add(i, v):
+        acc[i] = v if acc[i] is None else acc[i] + v
+
+    src = x
+    for s in range(n):
+        # Source s (0 = x, s>=1 = y_s) feeds convs s..n-1; its channel
+        # slice inside conv_i's cin starts at 0 (x) or feat+(s-1)*growth.
+        off = 0 if s == 0 else feat + (s - 1) * growth
+        width = feat if s == 0 else growth
+        dests = range(s, n)
+        wcat = jnp.concatenate(
+            [convs[i]["w"][:, :, off:off + width, :] for i in dests],
+            axis=-1)
+        o = nn.conv2d_apply({"w": wcat}, src)
+        pos = 0
+        for i in dests:
+            cout = convs[i]["w"].shape[-1]
+            add(i, o[..., pos:pos + cout])
+            pos += cout
+        if s < n - 1:
+            src = jax.nn.leaky_relu(
+                acc[s] + convs[s]["b"].astype(x.dtype), 0.2)
+    out = acc[n - 1] + convs[n - 1]["b"].astype(x.dtype)
     return x + 0.2 * out
 
 
