@@ -179,3 +179,54 @@ def test_production_config_env(monkeypatch):
     assert cfg.validate() == []
     bad = ProductionConfig(port=99999)
     assert bad.validate()
+
+
+def test_rollback_mode(tmp_path, monkeypatch):
+    """validate --mode rollback cancels in-flight jobs via the store and
+    clears scratch dirs (reference validate_deployment.py:637-707, minus
+    the pkill)."""
+    from video_enhancer_tpu.runtime.jobstore import JobStatus, JobStore
+    from video_enhancer_tpu.validate import run_rollback
+
+    data = tmp_path / "data"
+    store = JobStore(data / "jobs.sqlite")
+    live = store.create({"status": JobStatus.PROCESSING})
+    done = store.create({"status": JobStatus.COMPLETED})
+    (data / "tmp").mkdir(parents=True)
+    (data / "tmp" / "x.bin").write_text("junk")
+
+    steps = run_rollback(str(data))
+    assert steps["ok"]
+    assert steps["cancel_jobs"]["cancelled"] == 1
+    assert store.get(live)["status"] == JobStatus.CANCELLED
+    assert store.get(done)["status"] == JobStatus.COMPLETED
+    assert not (data / "tmp" / "x.bin").exists()
+    assert (data / "tmp").is_dir()
+    assert steps["git_reset"].get("skipped")
+
+
+def test_add_license_headers_script(tmp_path):
+    """SPDX header tool is idempotent and --check mode flags misses
+    (reference scripts/add_license_headers.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = str(Path(__file__).parent.parent / "scripts" /
+                 "add_license_headers.py")
+    f = tmp_path / "m.py"
+    f.write_text("#!/usr/bin/env python3\nx = 1\n")
+    r = subprocess.run([sys.executable, script, "--check", str(tmp_path)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "m.py" in r.stdout
+    assert subprocess.run([sys.executable, script, str(tmp_path)],
+                          capture_output=True).returncode == 0
+    text = f.read_text()
+    assert text.startswith("#!/usr/bin/env python3\n"
+                           "# SPDX-License-Identifier: MIT\n")
+    subprocess.run([sys.executable, script, str(tmp_path)],
+                   capture_output=True)
+    assert f.read_text() == text  # idempotent
+    r = subprocess.run([sys.executable, script, "--check", str(tmp_path)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0

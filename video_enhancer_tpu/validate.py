@@ -158,14 +158,83 @@ def validate_filesystem(data_dir: str = "data") -> dict:
         return {"writable": False, "error": str(e)}
 
 
+def run_rollback(data_dir: str = "data", git_reset: bool = False) -> dict:
+    """Reset a deployment to a known-good state (reference
+    validate_deployment.py:637-707 run_rollback). Redesigned: in-flight
+    jobs are cancelled through the job store instead of ``pkill -f`` (the
+    workers observe the status flip and stop), temp/upload scratch is
+    cleared, and the git tracked-file reset — destructive — runs only when
+    explicitly requested with ``--git-reset``."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    steps: dict = {}
+    try:
+        from .runtime.jobstore import JobStatus, JobStore
+
+        store = JobStore(Path(data_dir) / "jobs.sqlite")
+        n = 0
+        for st in (JobStatus.QUEUED, JobStatus.ANALYZING,
+                   JobStatus.PROCESSING):
+            for job in store.list(status=st, limit=10000):
+                store.update(job["job_id"], status=JobStatus.CANCELLED,
+                             error="cancelled by rollback")
+                n += 1
+        steps["cancel_jobs"] = {"ok": True, "cancelled": n}
+    except Exception as e:
+        steps["cancel_jobs"] = {"ok": False, "error": str(e)}
+
+    cleaned = []
+    for sub in ("tmp", "temp", "uploads"):
+        d = Path(data_dir) / sub
+        try:
+            if d.exists():
+                shutil.rmtree(d)
+                cleaned.append(str(d))
+            d.mkdir(parents=True, exist_ok=True)
+        except Exception as e:
+            steps.setdefault("clean_errors", []).append(f"{d}: {e}")
+    steps["clean_temp"] = {"ok": "clean_errors" not in steps,
+                           "cleaned": cleaned}
+
+    if git_reset:
+        try:
+            r = subprocess.run(["git", "checkout", "--", "."],
+                               capture_output=True, text=True, timeout=60)
+            steps["git_reset"] = {"ok": r.returncode == 0,
+                                  "stderr": r.stderr[-300:]}
+        except Exception as e:
+            steps["git_reset"] = {"ok": False, "error": str(e)}
+    else:
+        steps["git_reset"] = {"ok": True, "skipped": "pass --git-reset"}
+    steps["ok"] = all(v.get("ok") for v in steps.values()
+                      if isinstance(v, dict))
+    return steps
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--url", default=None,
                    help="probe a live server at this base URL")
-    p.add_argument("--mode", default="full", choices=["full", "ci"])
+    p.add_argument("--mode", default="full",
+                   choices=["full", "ci", "rollback"])
     p.add_argument("--report", default=None)
     p.add_argument("--platform", default=None)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--git-reset", action="store_true",
+                   help="rollback only: also git-checkout tracked files")
     args = p.parse_args(argv)
+
+    if args.mode == "rollback":
+        steps = run_rollback(args.data_dir, git_reset=args.git_reset)
+        out = json.dumps({"rollback": steps}, indent=2, default=str)
+        if args.report:
+            from pathlib import Path
+
+            Path(args.report).write_text(out)
+        print(out)
+        return 0 if steps["ok"] else 1
 
     from .utils.jaxenv import setup
 
