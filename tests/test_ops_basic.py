@@ -237,3 +237,22 @@ def test_rdb_scatter_form_matches_textbook():
     a = rdb_textbook(convs, h)
     b = _rdb_apply(convs, h)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_depthwise_conv1d_silu_kernel_matches_ref():
+    """Chunked halo kernel (interpret) == silu(grouped conv SAME), incl.
+    chunk-boundary halos and ragged tails."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops.conv import (_dwconv_silu_impl,
+                                             _dwconv_silu_ref)
+
+    for L, k in ((70, 5), (64, 4), (37, 3)):
+        x = jax.random.normal(jax.random.PRNGKey(L), (3, L, 16),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(k), (k, 1, 16)) * 0.4
+        b = jax.random.normal(jax.random.PRNGKey(7), (16,)) * 0.1
+        ref = _dwconv_silu_ref(x, w, b)
+        got = _dwconv_silu_impl(x, w, b, chunk=32, interpret=True)
+        assert jnp.max(jnp.abs(ref - got)) < 1e-5, (L, k)

@@ -296,8 +296,17 @@ def bissd_init(key, dim: int, state_dim: int = 32, expand: int = 2,
     }
 
 
-def bissd_apply(p, x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
-    """x: (B, L, dim) -> (B, L, dim)."""
+def bissd_apply(p, x: jnp.ndarray, chunk: int = 256,
+                conv_impl: str = "grouped") -> jnp.ndarray:
+    """x: (B, L, dim) -> (B, L, dim).
+
+    conv_impl="grouped" (default) keeps the XLA grouped-conv path for the
+    depthwise conv: although that lowering looks ~13x off roofline in
+    isolation, the chunked halo kernel ("pallas", ops/conv.py
+    depthwise_conv1d_silu) measured a consistent +7.5 ms REGRESSION at
+    full-VSRM scale (123.0 -> 130.5 ms median over 6 interleaved rounds,
+    scripts/ab_harness.py bissd_conv) — the same standalone-vs-in-situ
+    inversion as the unrolled conv and the bmajor scan kernel."""
     from ..ops.ssd import ssd_shared
 
     heads = p["A_log_f"].shape[0]
@@ -311,9 +320,15 @@ def bissd_apply(p, x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
     dt_raw = zxbcdt[..., -heads:].astype(jnp.float32)
 
     k = p["conv_w"].shape[0]
-    xbc = depthwise_conv1d(xbc, p["conv_w"].astype(xbc.dtype), p["conv_b"],
-                           padding="SAME")
-    xbc = jax.nn.silu(xbc)
+    if conv_impl == "pallas":
+        from ..ops.conv import depthwise_conv1d_silu
+
+        xbc = depthwise_conv1d_silu(xbc, p["conv_w"].astype(xbc.dtype),
+                                    p["conv_b"])
+    else:
+        xbc = depthwise_conv1d(xbc, p["conv_w"].astype(xbc.dtype),
+                               p["conv_b"], padding="SAME")
+        xbc = jax.nn.silu(xbc)
     u = xbc[..., :inner]
     Bm = xbc[..., inner:inner + state_dim]
     Cm = xbc[..., inner + state_dim:]
@@ -372,16 +387,29 @@ def bissm_init(key, dim: int, state_dim: int = 4, expand: int = 2,
     }
 
 
-def bissm_apply(p, x: jnp.ndarray) -> jnp.ndarray:
+def bissm_apply(p, x: jnp.ndarray, impl: str = "fused") -> jnp.ndarray:
     """x: (B, L, dim) -> (B, L, dim). L must be small (the kernel unrolls
-    it statically)."""
-    from ..ops.scan import selective_scan_bidir_shared
+    it statically).
+
+    impl="fused" (default) runs the whole interior — conv, SiLU,
+    projections, bidirectional scan, gate — as ONE batch-major Pallas
+    kernel (ops/scan.py fused_bidir_ssm): the conv/proj/scan intermediates
+    never touch HBM. impl="composed" is the five-op XLA path it replaced,
+    kept for A/B and as the numerics ground truth."""
+    from ..ops.scan import fused_bidir_ssm, selective_scan_bidir_shared
 
     state_dim = p["A_log_f"].shape[1]
     dt_rank = p["x_proj"]["w"].shape[1] - 2 * state_dim
 
     xz = dense_apply(p["in_proj"], x)
     u, gate = jnp.split(xz, 2, axis=-1)
+    if impl == "fused":
+        y = fused_bidir_ssm(
+            u, gate, p["conv_w"], p["conv_b"], p["x_proj"]["w"],
+            p["dt_proj"]["w"], p["dt_proj"]["b"], p["dt_bias_f"],
+            p["dt_bias_b"], -jnp.exp(p["A_log_f"]), -jnp.exp(p["A_log_b"]),
+            p["D_f"], p["D_b"], dt_rank)
+        return dense_apply(p["out_proj"], y)
     u = jax.nn.silu(depthwise_conv1d(u, p["conv_w"].astype(u.dtype),
                                      p["conv_b"], padding="SAME"))
     proj = dense_apply(p["x_proj"], u)

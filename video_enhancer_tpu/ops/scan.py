@@ -816,3 +816,219 @@ def selective_scan_bidir_shared(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
         return _scan_bidir_shared_impl(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db,
                                        interpret=True)
     return _bidir_shared_diffable(u, dtf, dtb, Af, Ab, Bm, Cm, Df, Db)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused bidirectional SSM mixer (the whole bissm interior in ONE
+# kernel). The composed path runs depthwise-conv -> silu -> x_proj ->
+# dt_proj -> bidirectional scan -> gate as five XLA ops, materializing the
+# (B*H*W, L, D) token stream in HBM between each; at FMV scale those
+# intermediates cost ~2x the roofline of the math. Here one batch-major
+# kernel reads the pre-conv stream once, keeps every intermediate in
+# VMEM/registers (the L axis is a handful of frames, statically unrolled),
+# and writes the gated output once. The reference runs this interior as
+# discrete torch modules with a Python loop over L (reference
+# models/backbones/mamba/ea_mamba_blocks.py:54-147).
+# ---------------------------------------------------------------------------
+
+
+def _fused_bissm_kernel(u_ref, g_ref, cw_ref, cb_ref, wx_ref, wdt_ref,
+                        bdt_ref, dtbf_ref, dtbb_ref, Af_ref, Ab_ref,
+                        Df_ref, Db_ref, y_ref,
+                        u_scr, dtb_scr, b_scr, c_scr, acc_scr,
+                        *, L, N, K, dt_rank):
+    """TIME-MAJOR blocks, matching _scan_bidir_kernel: u_ref/g_ref/y_ref
+    (L, BB, D) — the surrounding in/out projections already feed the
+    incumbent scan kernel through fused (L, B, D) transposes, and a
+    batch-major variant of this kernel measured ~30 ms of relayouts at
+    FMV scale. cw (K, D); wx (D, R); wdt (dt_rank, D); per-channel
+    vectors (1, D); Af/Ab (N, D). Scratch: u_scr/dtb_scr/acc_scr
+    (L, BB, D) f32; b_scr/c_scr (L, BB, N).
+
+    Forward pass computes conv+silu+projections per step, stashes what the
+    backward direction re-needs, and accumulates the forward scan output;
+    the backward pass re-reads the stashes, adds its scan output, applies
+    the gate, and casts once."""
+    lo = (K - 1) // 2
+    cwf = cw_ref[:, :].astype(jnp.float32)
+    wxf = wx_ref[:, :].astype(jnp.float32)
+    wdtf = wdt_ref[:, :].astype(jnp.float32)
+    bdt = bdt_ref[0, :].astype(jnp.float32)
+    dtbf = dtbf_ref[0, :].astype(jnp.float32)
+    dtbb = dtbb_ref[0, :].astype(jnp.float32)
+    Aff = Af_ref[:, :].astype(jnp.float32)
+    Abf = Ab_ref[:, :].astype(jnp.float32)
+    Dfv = Df_ref[0, :].astype(jnp.float32)
+    Dbv = Db_ref[0, :].astype(jnp.float32)
+
+    BB = u_ref.shape[1]
+
+    h = jnp.zeros((BB, N, u_ref.shape[2]), jnp.float32)
+    for l in range(L):
+        conv = cb_ref[0, :].astype(jnp.float32) * jnp.ones((BB, 1),
+                                                           jnp.float32)
+        for j in range(K):
+            t = l + j - lo
+            if 0 <= t < L:
+                conv = conv + u_ref[t].astype(jnp.float32) * cwf[j]
+        x_t = jax.nn.silu(conv)
+        u_scr[l] = x_t
+
+        proj = jax.lax.dot_general(
+            x_t, wxf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        b_t = proj[:, dt_rank:dt_rank + N]
+        c_t = proj[:, dt_rank + N:dt_rank + 2 * N]
+        b_scr[l] = b_t
+        c_scr[l] = c_t
+        dtp = bdt * jnp.ones((BB, 1), jnp.float32)
+        for r in range(dt_rank):
+            dtp = dtp + proj[:, r:r + 1] * wdtf[r]
+        dt_t = jax.nn.softplus(dtp + dtbf)
+        dtb_scr[l] = jax.nn.softplus(dtp + dtbb)
+
+        a = jnp.exp(dt_t[:, None, :] * Aff[None])
+        h = a * h + (dt_t * x_t)[:, None, :] * b_t[..., None]
+        acc_scr[l] = jnp.sum(h * c_t[..., None], axis=1) + x_t * Dfv
+
+    h = jnp.zeros((BB, N, u_ref.shape[2]), jnp.float32)
+    for l in range(L - 1, -1, -1):
+        x_t = u_scr[l]
+        dt_t = dtb_scr[l]
+        a = jnp.exp(dt_t[:, None, :] * Abf[None])
+        h = a * h + (dt_t * x_t)[:, None, :] * b_scr[l][..., None]
+        y = (acc_scr[l] + jnp.sum(h * c_scr[l][..., None], axis=1)
+             + x_t * Dbv)
+        gate = g_ref[l].astype(jnp.float32)
+        y_ref[l] = (y * jax.nn.silu(gate)).astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dt_rank", "interpret"))
+def _fused_bissm_impl(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
+                      Af, Ab, Df, Db, dt_rank, interpret=False):
+    B, L, Dd = u_pre.shape
+    N = Af.shape[1]
+    K = cw.shape[0]
+    # BB=256 blows the 16M scoped-VMEM stack (17.4M): the twice-unrolled
+    # L loop keeps h/decay intermediates live across the unroll. 128 fits.
+    BB = 128
+    pad_b = (-B) % BB
+
+    def padb(a):
+        return jnp.pad(a, ((0, pad_b), (0, 0), (0, 0))) if pad_b else a
+
+    u_pre, gate = padb(u_pre), padb(gate)
+    n_b = (B + pad_b) // BB
+
+    def tm(a):  # time-major, fused into the neighboring projections
+        return a.swapaxes(0, 1)
+
+    seq = pl.BlockSpec((L, BB, Dd), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+
+    def fixed(r, c):
+        return pl.BlockSpec((r, c), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    R = dt_rank + 2 * N
+    kernel = functools.partial(_fused_bissm_kernel, L=L, N=N, K=K,
+                               dt_rank=dt_rank)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_b,),
+        in_specs=[seq, seq, fixed(K, Dd), fixed(1, Dd), fixed(Dd, R),
+                  fixed(dt_rank, Dd), fixed(1, Dd), fixed(1, Dd),
+                  fixed(1, Dd), fixed(N, Dd), fixed(N, Dd), fixed(1, Dd),
+                  fixed(1, Dd)],
+        out_specs=seq,
+        out_shape=jax.ShapeDtypeStruct((L, B + pad_b, Dd), u_pre.dtype),
+        scratch_shapes=[pltpu.VMEM((L, BB, Dd), jnp.float32),
+                        pltpu.VMEM((L, BB, Dd), jnp.float32),
+                        pltpu.VMEM((L, BB, N), jnp.float32),
+                        pltpu.VMEM((L, BB, N), jnp.float32),
+                        pltpu.VMEM((L, BB, Dd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(tm(u_pre), tm(gate), cw.reshape(K, Dd), cb[None, :], wx,
+      wdt, bdt[None, :], dtbf[None, :], dtbb[None, :],
+      Af.swapaxes(0, 1), Ab.swapaxes(0, 1), Df[None, :], Db[None, :])
+    return tm(y)[:B]
+
+
+def _fused_bissm_ref(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
+                     Af, Ab, Df, Db, dt_rank):
+    """Composed reference (ground truth + backward): the exact op sequence
+    the kernel fuses, in fp32 throughout."""
+    from .conv import depthwise_conv1d
+
+    N = Af.shape[1]
+    uf = u_pre.astype(jnp.float32)
+    u = jax.nn.silu(depthwise_conv1d(uf, cw.astype(jnp.float32),
+                                     cb, padding="SAME"))
+    proj = jnp.einsum("blk,kr->blr", u, wx,
+                      preferred_element_type=jnp.float32)
+    dt_raw = proj[..., :dt_rank]
+    Bm = proj[..., dt_rank:dt_rank + N]
+    Cm = proj[..., dt_rank + N:]
+    dtp = jnp.einsum("blr,rd->bld", dt_raw, wdt,
+                     preferred_element_type=jnp.float32) + bdt
+    dt_f = jax.nn.softplus(dtp + dtbf)
+    dt_b = jax.nn.softplus(dtp + dtbb)
+    y = _bidir_shared_ref(u, dt_f, dt_b, Af, Ab, Bm, Cm, Df, Db)
+    return (y * jax.nn.silu(gate.astype(jnp.float32))).astype(u_pre.dtype)
+
+
+def _fused_bissm_primal(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
+                        Af, Ab, Df, Db, dt_rank):
+    if jax.default_backend() != "tpu":
+        return _fused_bissm_ref(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf,
+                                dtbb, Af, Ab, Df, Db, dt_rank)
+    return _fused_bissm_impl(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf,
+                             dtbb, Af, Ab, Df, Db, dt_rank,
+                             interpret=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+def _fused_bissm_diffable(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
+                          Af, Ab, Df, Db, dt_rank):
+    return _fused_bissm_primal(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf,
+                               dtbb, Af, Ab, Df, Db, dt_rank)
+
+
+def _fused_bissm_fwd(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
+                     Af, Ab, Df, Db, dt_rank):
+    args = (u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb, Af, Ab, Df, Db)
+    return _fused_bissm_primal(*args, dt_rank), args
+
+
+def _fused_bissm_bwd(dt_rank, res, gy):
+    _, vjp = jax.vjp(
+        lambda *a: _fused_bissm_ref(*a, dt_rank), *res)
+    return vjp(gy)
+
+
+_fused_bissm_diffable.defvjp(_fused_bissm_fwd, _fused_bissm_bwd)
+
+
+def fused_bidir_ssm(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
+                    Af, Ab, Df, Db, dt_rank: int, interpret=None):
+    """Whole bissm interior — depthwise conv, SiLU, x/dt projections,
+    shared-stream bidirectional selective scan, and output gating — as one
+    batch-major Pallas kernel (reference composition on CPU; interpret=True
+    reachable for unit tests). Differentiable via the composed reference."""
+    B, L, Dd = u_pre.shape
+    N = Af.shape[1]
+    R = dt_rank + 2 * N
+    flop_record(_scan_flops(B, L, Dd, N, streams=2)
+                + 2.0 * B * L * Dd * cw.shape[0]      # conv
+                + 2.0 * B * L * Dd * R                # x_proj
+                + 2.0 * B * L * dt_rank * Dd          # dt_proj
+                + 8.0 * B * L * Dd)                   # silu/gate epilogue
+    if interpret:
+        return _fused_bissm_impl(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf,
+                                 dtbb, Af, Ab, Df, Db, dt_rank,
+                                 interpret=True)
+    return _fused_bissm_diffable(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf,
+                                 dtbb, Af, Ab, Df, Db, dt_rank)
