@@ -204,3 +204,29 @@ def test_diffusion_sample_loop():
     err_before = float(jnp.mean(jnp.abs(noisy - cond)))
     err_after = float(jnp.mean(jnp.abs(stepped - cond)))
     assert err_after < err_before
+
+
+def test_fmv_ssd_temporal_mixer_preset():
+    """temporal_mixer='ssd' (scalar-per-head decay, dense masked-decay
+    mixing) forwards and trains; default 'ssm' preset unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+
+    p, meta = fmv.init(jax.random.PRNGKey(0), dim=16, num_layers=2,
+                       scale=2, temporal_mixer="ssd")
+    assert meta["temporal_mixer"] == "ssd"
+    assert "norm_scale" in p["layers"][0]["bimamba"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 12, 12, 3))
+    y = fmv.apply(p, x, scale=2)
+    assert y.shape == (1, 4, 24, 24, 3)
+
+    g = jax.grad(lambda pp: jnp.sum(fmv.apply(pp, x, scale=2) ** 2))(p)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(a))) for a in leaves)
+    # ssd temporal preset is single-chip: exact T-sharding must refuse
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        fmv.apply(p, x, scale=2, time_axis="time")

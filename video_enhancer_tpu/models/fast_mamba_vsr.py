@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..nn.ssm import bissm_apply, bissm_init
+from ..nn.ssm import bissd_init, bissm_apply, bissm_init
 from ..ops import pixel_shuffle, resize
 from ..ops.conv import conv3d
 
@@ -53,7 +53,8 @@ def _sepconv3d_apply(p, x):
 
 
 def init(key, dim: int = 48, num_layers: int = 8, scale: int = 4,
-         state_dim: int = 8, expand: int = 2, groups: int = 8):
+         state_dim: int = 8, expand: int = 2, groups: int = 8,
+         temporal_mixer: str = "ssm"):
     ks = jax.random.split(key, num_layers + 8)
     params = {
         "embed1": _sepconv3d_init(ks[0], 3, dim),
@@ -74,13 +75,21 @@ def init(key, dim: int = 48, num_layers: int = 8, scale: int = 4,
             # Shared-stream bidirectional SSM (round 2: one projection/
             # conv/x_proj feeds both directions — the separate-stream form
             # was 88 of the model's 134 ms).
-            "bimamba": bissm_init(kl[0], dim, state_dim=state_dim,
-                                  expand=expand),
+            # temporal_mixer="ssd": scalar-per-head decays (Mamba-2
+            # parameterization, nn.ssm.bissd_*) turn the per-frame
+            # recurrence into dense masked-decay mixing — the Mamba-1
+            # (D,N)-state scan is VPU-bound at its 8-sublane tile floor
+            # (see BENCH_RESULTS.md round-3 log).
+            "bimamba": (bissd_init(kl[0], dim, state_dim=state_dim,
+                                   expand=expand, head_dim=dim)
+                        if temporal_mixer == "ssd" else
+                        bissm_init(kl[0], dim, state_dim=state_dim,
+                                   expand=expand)),
             "spatial_dw": nn.conv3d_init(kl[1], 1, 3, 3, dim, dim, groups=dim),
             "spatial_pw": nn.conv3d_init(kl[2], 1, 1, 1, dim, dim),
         })
     meta = {"dim": dim, "num_layers": num_layers, "scale": scale,
-            "groups": groups}
+            "groups": groups, "temporal_mixer": temporal_mixer}
     return params, meta
 
 
@@ -93,7 +102,18 @@ def _temporal_bimamba(p, x, impl=None, time_axis=None):
     """
     b, t, h, w, c = x.shape
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-    if time_axis is not None:
+    if "norm_scale" in p:  # ssd temporal mixer (scalar-per-head decays)
+        if time_axis is not None:
+            raise NotImplementedError(
+                "exact T-sharding is wired for the default ssm temporal "
+                "mixer; the ssd preset is single-chip")
+        from ..nn.ssm import bissd_apply
+
+        # use_pallas=False: the chunked SSD kernels block for
+        # long-L/small-b; at this orientation (b=B*H*W, L=T) the
+        # single-chunk jnp matmul form is the right lowering.
+        y = bissd_apply(p, seq, use_pallas=False)
+    elif time_axis is not None:
         from ..nn.ssm import bissm_apply_sharded
 
         y = bissm_apply_sharded(p, seq, axis_name=time_axis)

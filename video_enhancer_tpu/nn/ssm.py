@@ -297,7 +297,8 @@ def bissd_init(key, dim: int, state_dim: int = 32, expand: int = 2,
 
 
 def bissd_apply(p, x: jnp.ndarray, chunk: int = 256,
-                conv_impl: str = "grouped") -> jnp.ndarray:
+                conv_impl: str = "grouped",
+                use_pallas: bool | None = None) -> jnp.ndarray:
     """x: (B, L, dim) -> (B, L, dim).
 
     conv_impl="grouped" (default) keeps the XLA grouped-conv path for the
@@ -337,9 +338,10 @@ def bissd_apply(p, x: jnp.ndarray, chunk: int = 256,
     uh = u.reshape(b, L, heads, P)
     dt_f = jax.nn.softplus(dt_raw + p["dt_bias_f"])
     dt_b = jax.nn.softplus(dt_raw + p["dt_bias_b"])
-    y = (ssd_shared(uh, dt_f, -jnp.exp(p["A_log_f"]), Bm, Cm, chunk=chunk)
+    y = (ssd_shared(uh, dt_f, -jnp.exp(p["A_log_f"]), Bm, Cm, chunk=chunk,
+                    use_pallas=use_pallas)
          + ssd_shared(uh, dt_b, -jnp.exp(p["A_log_b"]), Bm, Cm, chunk=chunk,
-                      reverse=True))
+                      reverse=True, use_pallas=use_pallas))
     y = y.reshape(b, L, inner) + u * p["D"].astype(u.dtype)
 
     y = y * jax.nn.silu(z)
