@@ -15,7 +15,8 @@ import time
 
 
 def build_model(name: str, scale: int, dim: int | None = None,
-                layers: int | None = None, heads: int | None = None):
+                layers: int | None = None, heads: int | None = None,
+                temporal_mixer: str = "ssm"):
     import jax
 
     key = jax.random.PRNGKey(0)
@@ -36,7 +37,7 @@ def build_model(name: str, scale: int, dim: int | None = None,
         from ..models import fast_mamba_vsr as m
 
         params, meta = m.init(key, dim=dim or 48, num_layers=layers or 8,
-                              scale=scale)
+                              scale=scale, temporal_mixer=temporal_mixer)
         return params, lambda p, c: m.apply(p, c, scale=scale)
     if name == "vsrm":
         from ..models import vsrm as m
@@ -107,6 +108,9 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=None)
     p.add_argument("--layers", type=int, default=None)
     p.add_argument("--heads", type=int, default=None)
+    p.add_argument("--temporal-mixer", default="ssm",
+                   choices=["ssm", "ssd"],
+                   help="fast_mamba_vsr only: temporal layer family")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--source", default=None,
                    help="video file for training frames (default: synthetic)")
@@ -143,7 +147,8 @@ def main(argv=None):
         frames = make_demo_frames(64, (args.crop * 2, args.crop * 2))
 
     params, apply_clip = build_model(args.model, args.scale, dim=args.dim,
-                                     layers=args.layers, heads=args.heads)
+                                     layers=args.layers, heads=args.heads,
+                                     temporal_mixer=args.temporal_mixer)
     if args.init_npz:
         from ..runtime.weights import try_load_params
 
