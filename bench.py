@@ -325,15 +325,52 @@ BENCHES = [
 ]
 
 
+def _run_subprocess(name: str, timeout_s: int) -> None:
+    """Run one bench in a watchdogged child and relay its JSON lines.
+
+    A wedged device claim can block a jax call indefinitely with no
+    Python-level way to interrupt it (observed: a full-zoo run produced
+    ZERO output for 90 minutes); per-bench subprocesses bound the damage
+    to one model and keep the rest of the zoo reporting. Compiles are
+    shared across children via the persistent compile cache."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, __file__, "--model", name, "--direct"],
+            capture_output=True, text=True, timeout=timeout_s)
+        relayed = False
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                relayed = True
+        if not relayed:
+            print(json.dumps({"metric": name,
+                              "error": (r.stderr[-200:] or "no output")}),
+                  flush=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"metric": name,
+                          "error": f"timeout>{timeout_s}s (wedged device "
+                                   "claim?)"}), flush=True)
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="all",
                    choices=["all"] + [n for n, _ in BENCHES])
+    p.add_argument("--direct", action="store_true",
+                   help="run in-process (no per-bench watchdog subprocess)")
+    p.add_argument("--bench-timeout", type=int, default=1500,
+                   help="per-bench subprocess watchdog, seconds")
     args = p.parse_args()
     for name, fn in BENCHES:
         if args.model not in ("all", name):
+            continue
+        if not args.direct:
+            _run_subprocess(name, args.bench_timeout)
             continue
         try:
             print(json.dumps(fn()), flush=True)
