@@ -310,36 +310,70 @@ def bench_e2e_sota():
                       size=(256, 256), model_bench=bench_seedvr2)
 
 
+# Ordered cheapest-compile-first so a late wedge still leaves a populated
+# artifact; the flagship cnn_upscaler stays LAST (tail-parse headline).
 BENCHES = [
-    ("fast_mamba_vsr", bench_fast_mamba_vsr),
-    ("vsrm", bench_vsrm),
+    ("flash_attention", bench_flash_attention),
+    ("rife", bench_rife),
     ("seedvr2", bench_seedvr2),
     ("ditvr", bench_ditvr),
-    ("realesrgan", bench_realesrgan),
     ("rvrt", bench_rvrt),
-    ("rife", bench_rife),
-    ("flash_attention", bench_flash_attention),
+    ("realesrgan", bench_realesrgan),
+    ("vsrm", bench_vsrm),
+    ("fast_mamba_vsr", bench_fast_mamba_vsr),
     ("e2e_cnn", bench_e2e_cnn),
     ("e2e_sota", bench_e2e_sota),
     ("cnn_upscaler", bench_cnn),  # flagship LAST (tail-parse headline)
 ]
 
 
-def _run_subprocess(name: str, timeout_s: int) -> None:
-    """Run one bench in a watchdogged child and relay its JSON lines.
+def _probe_device(timeout_s: int) -> bool:
+    """Cheap wedge probe: a tiny matmul in a fresh child process.
 
-    A wedged device claim can block a jax call indefinitely with no
-    Python-level way to interrupt it (observed: a full-zoo run produced
-    ZERO output for 90 minutes); per-bench subprocesses bound the damage
-    to one model and keep the rest of the zoo reporting. Compiles are
-    shared across children via the persistent compile cache."""
+    A wedged device claim blocks the FIRST jax dispatch indefinitely with
+    no Python-level interrupt (round-3 artifact: rc=124, zero metrics).
+    Probing in a child bounds the cost of finding out to ``timeout_s``.
+    Warm (cache hit + healthy tunnel) this takes ~2-5 s.
+    """
     import subprocess
     import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "from video_enhancer_tpu.utils.jaxenv import setup; setup();"
+        "import jax.numpy as jnp;"
+        "x = (jnp.ones((128, 128)) @ jnp.ones((128, 128)));"
+        "x.block_until_ready(); print('PROBE_OK')"
+    )
+    import os as _os
+
+    try:
+        r = subprocess.run([_sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s,
+                           cwd=_os.path.dirname(_os.path.abspath(__file__)))
+        return "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_subprocess(name: str, timeout_s: int) -> bool:
+    """Run one bench in a watchdogged child and relay its JSON lines.
+
+    Per-bench subprocesses bound a wedge's damage to one model and keep
+    the rest of the zoo reporting. Compiles are shared across children via
+    the persistent compile cache. Returns False when the child timed out
+    (caller should re-probe the device before continuing)."""
+    import subprocess
+    import sys as _sys
+
+    import os as _os
 
     try:
         r = subprocess.run(
             [_sys.executable, __file__, "--model", name, "--direct"],
-            capture_output=True, text=True, timeout=timeout_s)
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=_os.path.dirname(_os.path.abspath(__file__)))
         relayed = False
         for line in r.stdout.splitlines():
             if line.startswith("{"):
@@ -349,34 +383,68 @@ def _run_subprocess(name: str, timeout_s: int) -> None:
             print(json.dumps({"metric": name,
                               "error": (r.stderr[-200:] or "no output")}),
                   flush=True)
+        return True
     except subprocess.TimeoutExpired:
         print(json.dumps({"metric": name,
                           "error": f"timeout>{timeout_s}s (wedged device "
                                    "claim?)"}), flush=True)
+        return False
 
 
 def main():
     import argparse
+    import os
+    import time
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="all",
                    choices=["all"] + [n for n, _ in BENCHES])
     p.add_argument("--direct", action="store_true",
                    help="run in-process (no per-bench watchdog subprocess)")
-    p.add_argument("--bench-timeout", type=int, default=1500,
-                   help="per-bench subprocess watchdog, seconds")
+    p.add_argument("--bench-timeout", type=int,
+                   default=int(os.environ.get("VETPU_BENCH_TIMEOUT_S",
+                                              "420")),
+                   help="per-bench subprocess watchdog cap, seconds")
+    p.add_argument("--budget", type=int,
+                   default=int(os.environ.get("VETPU_BENCH_BUDGET_S",
+                                              "1500")),
+                   help="global wall budget for the whole zoo, seconds")
     args = p.parse_args()
+
+    if args.direct:
+        for name, fn in BENCHES:
+            if args.model not in ("all", name):
+                continue
+            try:
+                print(json.dumps(fn()), flush=True)
+            except Exception as e:  # keep later benches alive
+                print(json.dumps({"metric": name, "error": str(e)[:300]}),
+                      flush=True)
+        return
+
+    # Orchestrated mode: global budget + wedge probe, always exits 0 with
+    # whatever was measured (round-3 verdict item 1).
+    deadline = time.monotonic() + args.budget
+    wedged = not _probe_device(min(180, args.budget))
     for name, fn in BENCHES:
         if args.model not in ("all", name):
             continue
-        if not args.direct:
-            _run_subprocess(name, args.bench_timeout)
+        remaining = deadline - time.monotonic()
+        if wedged:
+            print(json.dumps({"metric": name,
+                              "error": "skipped: device wedged (probe "
+                                       "failed)"}), flush=True)
             continue
-        try:
-            print(json.dumps(fn()), flush=True)
-        except Exception as e:  # keep later benches alive
-            print(json.dumps({"metric": name, "error": str(e)[:300]}),
-                  flush=True)
+        if remaining < 60:
+            print(json.dumps({"metric": name,
+                              "error": "skipped: global wall budget "
+                                       "exhausted"}), flush=True)
+            continue
+        to = int(min(args.bench_timeout, remaining - 20))
+        if not _run_subprocess(name, to):
+            # Child timed out: distinguish slow-bench from wedged-device
+            # before claiming more children.
+            wedged = not _probe_device(90)
 
 
 if __name__ == "__main__":
