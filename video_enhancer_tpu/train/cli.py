@@ -114,6 +114,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--source", default=None,
                    help="video file for training frames (default: synthetic)")
+    p.add_argument("--content", default="mixed", choices=["mixed", "demo"],
+                   help="synthetic content bank (mixed = demo + spectral/"
+                        "sprite clips; round-3 weights used demo only)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--init-npz", default=None,
                    help="warm-start weights from an exported npz")
@@ -141,10 +144,22 @@ def main(argv=None):
         from ..io.video import read_video
 
         frames = read_video(args.source)
-    else:
+    elif args.content == "demo":
         from ..io.demo import make_demo_frames
 
         frames = make_demo_frames(64, (args.crop * 2, args.crop * 2))
+    else:
+        # Mixed content bank: demo generator + spectral-noise/sprite clips
+        # (round 4: single-generator training measured negative gains on
+        # the cross-generator eval family — scripts/crossgen_eval.py).
+        from ..io.demo import make_demo_frames
+        from .data import make_train_frames
+
+        size = (args.crop * 2, args.crop * 2)
+        frames = np.concatenate(
+            [make_demo_frames(64, size)]
+            + [make_train_frames(48, size, seed=s) for s in (1, 2, 3, 4)],
+            axis=0)
 
     params, apply_clip = build_model(args.model, args.scale, dim=args.dim,
                                      layers=args.layers, heads=args.heads,

@@ -1,10 +1,24 @@
 """Synthetic degradation training data.
 
 VSR training pairs manufactured on the fly: HR crops from source frames
-(any video, or the deterministic demo generator), degraded to LR by the
-classic pipeline blur -> downscale -> noise -> (light) compression smear.
+(any video, or the deterministic demo generator), degraded to LR by a
+RANDOMIZED wide pipeline (Real-ESRGAN-style: random blur family ->
+random resampler -> random noise family -> random compression family).
 No dataset downloads (zero-egress environment); same philosophy as the
 reference's synthetic-fixture strategy (SURVEY.md §4).
+
+Round 4: the round-3 models — trained on one fixed degradation chain
+(Gaussian blur + AREA + Gaussian noise + resize smear) and one content
+generator (io/demo.py) — measured NEGATIVE gains on the cross-generator
+eval family (scripts/crossgen_eval.py): pure generator overfit. The
+training distribution is therefore widened on both axes: ``_degrade``
+samples per-clip from blur/resample/noise/compression FAMILIES, and
+``make_train_frames`` mixes the demo generator with spectrally-shaped
+noise fields and independently-moving sprites. The eval family
+(train/evalgen.py) stays structurally held out: its texture processes
+(octave value noise, Voronoi, stripe interference), camera model (affine
+rotate/zoom + sinusoidal warp), and its fixed degradation chain are never
+sampled here.
 """
 
 from __future__ import annotations
@@ -12,30 +26,159 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["make_pairs", "pair_iterator", "make_triplets",
-           "triplet_iterator"]
+           "triplet_iterator", "make_train_frames"]
+
+
+def _rand_blur(f: np.ndarray, kind: int, sigma: float,
+               mkernel: np.ndarray | None):
+    import cv2
+
+    if kind == 0:
+        return f  # no blur
+    if kind == 1:
+        return cv2.GaussianBlur(f, (5, 5), sigma)
+    return cv2.filter2D(f, -1, mkernel)
+
+
+def _rand_motion_kernel(rng: np.random.Generator, ksize: int = 5
+                        ) -> np.ndarray:
+    import cv2
+
+    k = np.zeros((ksize, ksize), np.float32)
+    theta = rng.uniform(0, np.pi)
+    c = (ksize - 1) / 2.0
+    length = rng.uniform(1.5, ksize - 1.0)
+    p0 = (int(round(c - np.cos(theta) * length / 2)),
+          int(round(c - np.sin(theta) * length / 2)))
+    p1 = (int(round(c + np.cos(theta) * length / 2)),
+          int(round(c + np.sin(theta) * length / 2)))
+    cv2.line(k, p0, p1, 1.0, 1)
+    s = k.sum()
+    if s <= 0:
+        k[int(c), int(c)] = 1.0
+        s = 1.0
+    return k / s
 
 
 def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator
              ) -> np.ndarray:
+    """Wide randomized degradation: one draw per clip (consistent within
+    the clip, like a real capture chain)."""
     import cv2
 
     t, h, w, _ = hr.shape
-    lr = np.empty((t, h // scale, w // scale, 3), np.float32)
-    sigma = rng.uniform(0.2, 1.6)
-    noise_std = rng.uniform(0.0, 0.04)
+    lh, lw = h // scale, w // scale
+    lr = np.empty((t, lh, lw, 3), np.float32)
+
+    blur_kind = int(rng.integers(0, 3))      # none / gaussian / motion
+    sigma = rng.uniform(0.2, 2.0)
+    mkernel = _rand_motion_kernel(rng) if blur_kind == 2 else None
+    interp = [cv2.INTER_AREA, cv2.INTER_LINEAR,
+              cv2.INTER_CUBIC][int(rng.integers(0, 3))]
+    noise_kind = int(rng.integers(0, 3))     # none / gaussian / uniform
+    noise_std = rng.uniform(0.005, 0.04)
+    quantize = rng.random() < 0.3
+    comp_kind = int(rng.integers(0, 3))      # none / resize smear / jpeg
+    jpeg_q = int(rng.integers(40, 90))
+
     for i in range(t):
-        f = cv2.GaussianBlur(hr[i], (5, 5), sigma)
-        f = cv2.resize(f, (w // scale, h // scale),
-                       interpolation=cv2.INTER_AREA)
-        lr[i] = f
-    lr += rng.normal(0, noise_std, lr.shape).astype(np.float32)
-    if rng.random() < 0.5:  # light compression smear
+        f = _rand_blur(hr[i], blur_kind, sigma, mkernel)
+        lr[i] = cv2.resize(f, (lw, lh), interpolation=interp)
+    if noise_kind == 1:
+        lr += rng.normal(0, noise_std, lr.shape).astype(np.float32)
+    elif noise_kind == 2:
+        lr += rng.uniform(-noise_std * 1.7, noise_std * 1.7,
+                          lr.shape).astype(np.float32)
+    if quantize:
+        bits = int(rng.integers(5, 7))
+        levels = (1 << bits) - 1
+        lr = np.floor(np.clip(lr, 0, 1) * levels + 0.5) / levels
+    if comp_kind == 1:
         for i in range(t):
-            small = cv2.resize(lr[i], (lr.shape[2] * 3 // 4,
-                                       lr.shape[1] * 3 // 4))
-            lr[i] = cv2.resize(small, (lr.shape[2], lr.shape[1]),
+            small = cv2.resize(lr[i], (lw * 3 // 4, lh * 3 // 4))
+            lr[i] = cv2.resize(small, (lw, lh),
                                interpolation=cv2.INTER_LINEAR)
+    elif comp_kind == 2:
+        for i in range(t):
+            u8 = np.clip(lr[i] * 255.0, 0, 255).astype(np.uint8)
+            ok, enc = cv2.imencode(".jpg", u8,
+                                   [cv2.IMWRITE_JPEG_QUALITY, jpeg_q])
+            if ok:
+                lr[i] = cv2.imdecode(enc, cv2.IMREAD_COLOR).astype(
+                    np.float32) / 255.0
     return np.clip(lr, 0.0, 1.0)
+
+
+def _spectral_texture(rng: np.random.Generator, h: int, w: int,
+                      slope: float) -> np.ndarray:
+    """Power-law-filtered Gaussian noise field in [0, 1] (FFT-shaped —
+    a different process from evalgen's resize-octave value noise)."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    rad = np.sqrt(fy * fy + fx * fx)
+    rad[0, 0] = 1.0
+    spec = (np.fft.rfft2(rng.standard_normal((h, w)))
+            * (rad ** (-slope))).astype(np.complex64)
+    img = np.fft.irfft2(spec, s=(h, w)).astype(np.float32)
+    img -= img.min()
+    return img / max(img.max(), 1e-6)
+
+
+def make_train_frames(frames: int = 48,
+                      size_hw: tuple[int, int] = (256, 256),
+                      seed: int = 0) -> np.ndarray:
+    """Diverse training clips: spectral-noise background scrolling with a
+    constant per-clip velocity, plus independently moving ellipse/polygon
+    sprites with per-object velocities and brightness flicker. Returns
+    (frames, h, w, 3) uint8."""
+    import cv2
+
+    h, w = size_hw
+    rng = np.random.default_rng(seed)
+    slope = rng.uniform(0.8, 2.2)
+    bg = np.stack([_spectral_texture(rng, h * 2, w * 2, slope)
+                   for _ in range(3)], axis=-1)
+    bg = (bg * rng.uniform(120, 255, (1, 1, 3))).astype(np.float32)
+    vx, vy = rng.uniform(-3, 3), rng.uniform(-3, 3)
+
+    n_sprites = int(rng.integers(2, 6))
+    sprites = [{
+        "pos": rng.uniform([0, 0], [w, h]),
+        "vel": rng.uniform(-4, 4, 2),
+        "size": rng.uniform(h / 16, h / 5),
+        "color": rng.uniform(40, 250, 3),
+        "poly": rng.random() < 0.5,
+        "nv": int(rng.integers(3, 7)),
+        "phase": rng.uniform(0, 2 * np.pi),
+    } for _ in range(n_sprites)]
+
+    out = np.empty((frames, h, w, 3), np.uint8)
+    for t in range(frames):
+        x0 = int(w / 2 + vx * t) % w
+        y0 = int(h / 2 + vy * t) % h
+        img = bg[y0:y0 + h, x0:x0 + w].copy()
+        flick = 1.0 + 0.08 * np.sin(2 * np.pi * t / max(frames, 1)
+                                    + sprites[0]["phase"])
+        for s in sprites:
+            cx, cy = s["pos"] + s["vel"] * t
+            cx, cy = int(cx) % w, int(cy) % h
+            color = tuple(float(c) * flick for c in s["color"])
+            if s["poly"]:
+                ang = s["phase"] + 0.1 * t
+                pts = np.stack([
+                    cx + s["size"] * np.cos(ang + 2 * np.pi
+                                            * np.arange(s["nv"]) / s["nv"]),
+                    cy + s["size"] * np.sin(ang + 2 * np.pi
+                                            * np.arange(s["nv"]) / s["nv"]),
+                ], axis=1).astype(np.int32)
+                cv2.fillPoly(img, [pts], color)
+            else:
+                cv2.ellipse(img, (cx, cy),
+                            (int(s["size"]), int(s["size"] * 0.6)),
+                            float(np.degrees(s["phase"])) + 3 * t, 0, 360,
+                            color, -1)
+        out[t] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
 
 
 def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
