@@ -398,3 +398,86 @@ def test_sharded_attention_ring_path_exact(cpu_mesh_devices):
         ref = attention_ref(mh(q), mh(k), mh(v))
         ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, C))
         assert float(np.abs(out - ref).max()) < 1e-5, min_ring
+
+
+def test_ssd_parallel_scan_exact(cpu_mesh_devices):
+    """Distributed SSD scan (scalar-per-head decay) vs the sequential
+    ground truth, both directions."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video_enhancer_tpu.ops.ssd import ssd_ref
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+    from video_enhancer_tpu.parallel.temporal import ssd_parallel_scan
+
+    B, L, H, Pd, N = 2, 32, 2, 4, 3
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, L, H, Pd))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B, L, H)) * 0.5)
+    A = -jnp.exp(jax.random.normal(ks[2], (H,)) * 0.3)
+    Bm = jax.random.normal(ks[3], (B, L, N))
+    Cm = jax.random.normal(ks[4], (B, L, N))
+
+    mesh = make_mesh(time=4)
+    seq = P(None, "time")
+    rep = P()
+    for reverse in (False, True):
+        fn = shard_map(
+            functools.partial(ssd_parallel_scan, axis_name="time",
+                              chunk=8, reverse=reverse),
+            mesh=mesh,
+            in_specs=(seq, seq, rep, seq, seq),
+            out_specs=seq,
+        )
+        with mesh:
+            args = [jax.device_put(a, NamedSharding(mesh, s))
+                    for a, s in ((x, seq), (dt, seq), (A, rep),
+                                 (Bm, seq), (Cm, seq))]
+            out = np.asarray(jax.jit(fn)(*args))
+
+        Bh = jnp.broadcast_to(Bm[:, :, None, :], (B, L, H, N))
+        Ch = jnp.broadcast_to(Cm[:, :, None, :], (B, L, H, N))
+        if reverse:
+            flip = lambda t: jnp.flip(t, axis=1)
+            ref, _ = ssd_ref(flip(x), flip(dt), A, flip(Bh), flip(Ch))
+            ref = flip(ref)
+        else:
+            ref, _ = ssd_ref(x, dt, A, Bh, Ch)
+        err = float(np.abs(out - np.asarray(ref)).max())
+        assert err < 1e-4, (reverse, err)
+
+
+def test_exact_sharded_fmv_ssd_mixer(cpu_mesh_devices):
+    """FMV with the SSD temporal mixer, T-sharded, matches unsharded
+    (round-4: the ssd preset's exact T-sharding, VERDICT item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+    from video_enhancer_tpu.parallel.inference import make_exact_sharded_fmv
+    from video_enhancer_tpu.parallel.mesh import make_mesh
+
+    params, meta = fmv.init(jax.random.PRNGKey(3), dim=8, num_layers=2,
+                            scale=2, temporal_mixer="ssd")
+    assert meta["temporal_mixer"] == "ssd"
+    params["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(4), params["head"]["w"].shape) * 0.05
+    params["temporal"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(5), params["temporal"]["w"].shape) * 0.05
+
+    clip = jnp.asarray(
+        np.random.default_rng(2).random((1, 8, 16, 16, 3), np.float32)
+    )
+    ref = np.asarray(fmv.apply(params, clip, scale=2))
+
+    mesh = make_mesh(time=2)  # T_loc=4 >= ssd conv halo 2
+    fn = make_exact_sharded_fmv(mesh, scale=2)
+    with mesh:
+        out = np.asarray(fn(params, clip))
+    assert out.shape == ref.shape
+    err = np.max(np.abs(out - ref))
+    assert err < 1e-4, err

@@ -16,8 +16,9 @@ adaptation, linear head, unpatchify, residual to the input. Differences:
   token sequences).
 
 Size presets mirror the reference's SEEDVR2_MODELS table
-(ditvr_handler.py:372-387): 3b = dim 1536/depth 24/heads 24,
-7b = dim 2048/depth 32/heads 32.
+(ditvr_handler.py:372-387). Dims are sized so the ACTUAL parameter count
+matches the name (each AdaLN block is ~18*dim^2 params): 3b = dim 2304/
+depth 32 -> 3.06B, 7b = dim 3072/depth 42 -> 7.1B.
 """
 
 from __future__ import annotations
@@ -34,8 +35,8 @@ __all__ = ["init", "apply", "default_config", "SIZE_PRESETS"]
 SIZE_PRESETS = {
     "small": {"dim": 384, "depth": 8, "heads": 6},
     "base": {"dim": 768, "depth": 12, "heads": 12},
-    "3b": {"dim": 1536, "depth": 24, "heads": 24},
-    "7b": {"dim": 2048, "depth": 32, "heads": 32},
+    "3b": {"dim": 2304, "depth": 32, "heads": 24},
+    "7b": {"dim": 3072, "depth": 42, "heads": 24},
 }
 
 DEG_TYPES = ("unknown", "noise", "blur", "compression")

@@ -104,15 +104,16 @@ def _temporal_bimamba(p, x, impl=None, time_axis=None):
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
     if "norm_scale" in p:  # ssd temporal mixer (scalar-per-head decays)
         if time_axis is not None:
-            raise NotImplementedError(
-                "exact T-sharding is wired for the default ssm temporal "
-                "mixer; the ssd preset is single-chip")
-        from ..nn.ssm import bissd_apply
+            from ..nn.ssm import bissd_apply_sharded
 
-        # use_pallas=False: the chunked SSD kernels block for
-        # long-L/small-b; at this orientation (b=B*H*W, L=T) the
-        # single-chunk jnp matmul form is the right lowering.
-        y = bissd_apply(p, seq, use_pallas=False)
+            y = bissd_apply_sharded(p, seq, axis_name=time_axis)
+        else:
+            from ..nn.ssm import bissd_apply
+
+            # use_pallas=False: the chunked SSD kernels block for
+            # long-L/small-b; at this orientation (b=B*H*W, L=T) the
+            # single-chunk jnp matmul form is the right lowering.
+            y = bissd_apply(p, seq, use_pallas=False)
     elif time_axis is not None:
         from ..nn.ssm import bissm_apply_sharded
 

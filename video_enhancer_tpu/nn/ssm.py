@@ -27,7 +27,8 @@ from .core import dense_apply, dense_init
 __all__ = ["ssm_init", "ssm_apply", "bimamba_init", "bimamba_apply",
            "bimamba_apply_sharded", "mamba2_init", "mamba2_apply",
            "bimamba2_init", "bimamba2_apply", "bissd_init", "bissd_apply",
-           "bissm_init", "bissm_apply"]
+           "bissd_apply_sharded", "bissm_init", "bissm_apply",
+           "bissm_apply_sharded"]
 
 
 def ssm_init(key, dim: int, state_dim: int = 16, expand: int = 2,
@@ -351,6 +352,65 @@ def bissd_apply(p, x: jnp.ndarray, chunk: int = 256,
     return dense_apply(p["out_proj"], y)
 
 
+def bissd_apply_sharded(p, x: jnp.ndarray, axis_name: str = "time",
+                        chunk: int = 64) -> jnp.ndarray:
+    """EXACT bissd over a sequence sharded across ``axis_name`` (inside
+    shard_map). x: local shard (B, L_loc, dim).
+
+    Mirrors ``bissm_apply_sharded``: the centered SAME conv's receptive
+    field is satisfied with a frame halo (zeroed at the global edges to
+    match the unsharded zero padding) and both scan directions run the
+    distributed prefix-combine (``parallel.temporal.ssd_parallel_scan``).
+    The in_proj of a zero halo frame is zero (bias-free), so the conv
+    reads the same zero context the unsharded SAME padding provides.
+    """
+    from ..parallel.temporal import halo_exchange_time, ssd_parallel_scan
+
+    heads = p["A_log_f"].shape[0]
+    inner = p["D"].shape[0]
+    state_dim = (p["conv_w"].shape[-1] - inner) // 2
+    P = inner // heads
+    k = p["conv_w"].shape[0]
+    halo = k // 2
+    if x.shape[1] < halo:
+        raise ValueError(
+            f"local T shard ({x.shape[1]}) smaller than conv halo ({halo})")
+
+    xh = halo_exchange_time(x, halo, axis_name=axis_name, edge="zero")
+    zxbcdt = dense_apply(p["in_proj"], xh)
+    z = zxbcdt[..., :inner]
+    xbc = zxbcdt[..., inner:inner + inner + 2 * state_dim]
+    dt_raw = zxbcdt[..., -heads:].astype(jnp.float32)
+
+    xbc = depthwise_conv1d(xbc, p["conv_w"].astype(xbc.dtype),
+                           p["conv_b"], padding="SAME")
+    xbc = jax.nn.silu(xbc)
+
+    def trim(a):
+        return a[:, halo:a.shape[1] - halo]
+
+    z, xbc, dt_raw = trim(z), trim(xbc), trim(dt_raw)
+    u = xbc[..., :inner]
+    Bm = xbc[..., inner:inner + state_dim]
+    Cm = xbc[..., inner + state_dim:]
+
+    b, L, _ = u.shape
+    uh = u.reshape(b, L, heads, P)
+    dt_f = jax.nn.softplus(dt_raw + p["dt_bias_f"])
+    dt_b = jax.nn.softplus(dt_raw + p["dt_bias_b"])
+    y = (ssd_parallel_scan(uh, dt_f, -jnp.exp(p["A_log_f"]), Bm, Cm,
+                           axis_name=axis_name, chunk=chunk)
+         + ssd_parallel_scan(uh, dt_b, -jnp.exp(p["A_log_b"]), Bm, Cm,
+                             axis_name=axis_name, chunk=chunk, reverse=True))
+    y = y.reshape(b, L, inner) + u * p["D"].astype(u.dtype)
+
+    y = y * jax.nn.silu(z)
+    yf = y.astype(jnp.float32)
+    y = (yf * jax.lax.rsqrt(jnp.mean(yf * yf, axis=-1, keepdims=True) + 1e-6)
+         * p["norm_scale"]).astype(x.dtype)
+    return dense_apply(p["out_proj"], y)
+
+
 def bissm_init(key, dim: int, state_dim: int = 4, expand: int = 2,
                conv_kernel: int = 5, dt_rank: int | None = None):
     """Bidirectional Mamba-1 with SHARED streams for short sequences (the
@@ -389,7 +449,8 @@ def bissm_init(key, dim: int, state_dim: int = 4, expand: int = 2,
     }
 
 
-def bissm_apply(p, x: jnp.ndarray, impl: str = "fused") -> jnp.ndarray:
+def bissm_apply(p, x: jnp.ndarray, impl: str = "fused",
+                interpret: bool | None = None) -> jnp.ndarray:
     """x: (B, L, dim) -> (B, L, dim). L must be small (the kernel unrolls
     it statically).
 
@@ -397,7 +458,9 @@ def bissm_apply(p, x: jnp.ndarray, impl: str = "fused") -> jnp.ndarray:
     projections, bidirectional scan, gate — as ONE batch-major Pallas
     kernel (ops/scan.py fused_bidir_ssm): the conv/proj/scan intermediates
     never touch HBM. impl="composed" is the five-op XLA path it replaced,
-    kept for A/B and as the numerics ground truth."""
+    kept for A/B and as the numerics ground truth. ``interpret=True``
+    forces the Pallas kernel in interpret mode (CPU-mesh exactness checks
+    of the PRODUCTION kernel, parallel/dryrun.py)."""
     from ..ops.scan import fused_bidir_ssm, selective_scan_bidir_shared
 
     state_dim = p["A_log_f"].shape[1]
@@ -410,7 +473,7 @@ def bissm_apply(p, x: jnp.ndarray, impl: str = "fused") -> jnp.ndarray:
             u, gate, p["conv_w"], p["conv_b"], p["x_proj"]["w"],
             p["dt_proj"]["w"], p["dt_proj"]["b"], p["dt_bias_f"],
             p["dt_bias_b"], -jnp.exp(p["A_log_f"]), -jnp.exp(p["A_log_b"]),
-            p["D_f"], p["D_b"], dt_rank)
+            p["D_f"], p["D_b"], dt_rank, interpret=interpret)
         return dense_apply(p["out_proj"], y)
     u = jax.nn.silu(depthwise_conv1d(u, p["conv_w"].astype(u.dtype),
                                      p["conv_b"], padding="SAME"))

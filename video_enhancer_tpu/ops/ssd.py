@@ -452,7 +452,15 @@ def ssd_shared(x, dt, A, Bm, Cm, chunk: int = 256, reverse: bool = False,
     chunked form). Elsewhere: the pure-jnp chunked form.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Auto-select the Pallas kernel only for half-precision inputs (the
+        # serving path; bench.py casts to bf16). Training runs f32, where
+        # XLA stages the kernel's full f32 operands on the VMEM stack and
+        # the scoped allocation blows the 16 MB limit (measured: VSRM train
+        # step at (16,1024,128) f32 -> 20.1 MB scoped-vmem OOM). The jnp
+        # chunked form is differentiable and MXU-mapped, so f32 callers
+        # lose nothing structural.
+        use_pallas = (jax.default_backend() == "tpu"
+                      and x.dtype in (jnp.bfloat16, jnp.float16))
     if use_pallas:
         b, L, H, P = x.shape
         N = Bm.shape[-1]

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.scan import selective_scan
 
 __all__ = ["halo_exchange_time", "temporal_parallel_scan",
-           "make_temporal_scan"]
+           "ssd_parallel_scan", "make_temporal_scan"]
 
 
 def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str = "time",
@@ -114,6 +114,69 @@ def temporal_parallel_scan(x, dt, A, Bmat, C, D, axis_name: str = "time",
 
     # Pass 2: local scan with the true incoming state.
     y, _ = selective_scan(x, dt, A, Bmat, C, D, h0=h_in, impl=impl)
+    if reverse:
+        y = jnp.flip(y, axis=1)
+    return y
+
+
+def ssd_parallel_scan(x, dt, A, Bm, Cm, axis_name: str = "time",
+                      chunk: int = 64, reverse: bool = False):
+    """Exact distributed SSD (Mamba-2) scan over a T-sharded sequence.
+
+    The scalar-per-head-decay analog of ``temporal_parallel_scan``: scan
+    state is ``(B, H, N, P)`` with per-head decay ``exp(dt_t * A_h)``.
+    Unlike the Mamba-1 version no second scan pass is needed — the
+    incoming shard state enters the output linearly, so one einsum adds
+    its contribution after the local scan (1x local compute + O(K*H*N*P)
+    comms).
+
+    Args are local shards: x ``(B, L_loc, H, P)``; dt ``(B, L_loc, H)``
+    (already softplused, fp32); Bm, Cm ``(B, L_loc, N)`` shared across
+    heads; A ``(H,)`` replicated. Returns the local y shard WITHOUT the
+    D skip (caller adds ``u * D``).
+    """
+    from ..ops.ssd import ssd_shared
+
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    if reverse:
+        x, dt, Bm, Cm = (jnp.flip(a, axis=1) for a in (x, dt, Bm, Cm))
+
+    # Local scan from zero state.
+    y_local = ssd_shared(x, dt, A, Bm, Cm, chunk=chunk)
+
+    # Local decay prefix g_t = cumsum(dt * A) and the shard's final state
+    # h_local = sum_t exp(G - g_t) * dt_t * (B_t (x) x_t).
+    dtf = dt.astype(jnp.float32)
+    Af = A.astype(jnp.float32)
+    g = jnp.cumsum(dtf * Af[None, None, :], axis=1)           # (B, L, H)
+    G = g[:, -1]                                              # (B, H)
+    w = jnp.exp(G[:, None] - g) * dtf                         # (B, L, H)
+    h_local = jnp.einsum("bln,blhp->bhnp", Bm.astype(jnp.float32),
+                         w[..., None] * x.astype(jnp.float32))
+    a_tot = jnp.exp(G)                                        # (B, H)
+
+    # All-gather (decay, state) summaries; exclusive prefix-combine.
+    a_all = jax.lax.all_gather(a_tot, axis_name)              # (K, B, H)
+    h_all = jax.lax.all_gather(h_local, axis_name)            # (K, B, H, N, P)
+    if reverse:
+        a_all = jnp.flip(a_all, axis=0)
+        h_all = jnp.flip(h_all, axis=0)
+
+    def combine(carry, pair):
+        a_k, h_k = pair
+        return a_k[..., None, None] * carry + h_k, carry
+
+    _, carries = jax.lax.scan(combine, jnp.zeros_like(h_local),
+                              (a_all, h_all))
+    my_pos = (n - 1 - idx) if reverse else idx
+    h_in = carries[my_pos]                                    # (B, H, N, P)
+
+    # Incoming-state contribution: y_t += exp(g_t) * C_t . h_in.
+    y_corr = (jnp.einsum("bln,bhnp->blhp", Cm.astype(jnp.float32), h_in)
+              * jnp.exp(g)[..., None])
+    y = y_local + y_corr.astype(y_local.dtype)
     if reverse:
         y = jnp.flip(y, axis=1)
     return y
