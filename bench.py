@@ -161,6 +161,45 @@ def bench_ditvr():
                     n_small=2, n_large=6)
 
 
+def bench_ditvr_base():
+    from video_enhancer_tpu.models import ditvr
+    from video_enhancer_tpu.models.ditvr import SIZE_PRESETS
+
+    # One measured point for a big preset (round-4 verdict item 8): "base"
+    # = dim 768/depth 12 (reference ditvr_handler.py:372-387 names only
+    # 3b/7b; base is the largest that fits a single v5e chip's HBM with
+    # activations at this resolution). heads=6 keeps dh=128 (MXU lane
+    # width), the same serving layout rule as the small preset.
+    cfg = SIZE_PRESETS["base"]
+    t, s = 8, 224
+    params, _ = ditvr.init(jax.random.PRNGKey(0), dim=cfg["dim"],
+                           depth=cfg["depth"], heads=6)
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, s, s, 3),
+                           jnp.bfloat16)
+    return _measure("ditvr_base_224_restore",
+                    lambda xx: ditvr.apply(pb, xx, heads=6),
+                    (x,), t, REF_FPS["ditvr"], [1, t, s, s, 3],
+                    n_small=2, n_large=6)
+
+
+def bench_fast_mamba_vsr_ssd():
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+
+    # The SSD-form temporal mixer (round-4 verdict item 2): the temporal
+    # recurrence becomes chunked matmuls (MXU) instead of a VPU scan.
+    t, h, w = 8, 180, 320
+    params, _ = fmv.init(jax.random.PRNGKey(0), dim=48, num_layers=8,
+                         scale=4, temporal_mixer="ssd")
+    pb = _bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, h, w, 3),
+                           jnp.bfloat16)
+    return _measure("fast_mamba_vsr_ssd_180p_x4",
+                    lambda xx: fmv.apply(pb, xx, scale=4), (x,), t,
+                    REF_FPS["fast_mamba_vsr"], [1, t, h, w, 3],
+                    n_small=2, n_large=6)
+
+
 def bench_realesrgan():
     from video_enhancer_tpu.models import realesrgan
 
@@ -317,10 +356,12 @@ BENCHES = [
     ("rife", bench_rife),
     ("seedvr2", bench_seedvr2),
     ("ditvr", bench_ditvr),
+    ("ditvr_base", bench_ditvr_base),
     ("rvrt", bench_rvrt),
     ("realesrgan", bench_realesrgan),
     ("vsrm", bench_vsrm),
     ("fast_mamba_vsr", bench_fast_mamba_vsr),
+    ("fast_mamba_vsr_ssd", bench_fast_mamba_vsr_ssd),
     ("e2e_cnn", bench_e2e_cnn),
     ("e2e_sota", bench_e2e_sota),
     ("cnn_upscaler", bench_cnn),  # flagship LAST (tail-parse headline)
@@ -435,12 +476,16 @@ def main():
                               "error": "skipped: device wedged (probe "
                                        "failed)"}), flush=True)
             continue
-        if remaining < 60:
+        # Reserve tail budget for the flagship: the headline is the LAST
+        # line, so every earlier child's watchdog is capped to leave the
+        # flagship at least 240 s of the global budget.
+        reserve = 20 if name == "cnn_upscaler" else 240
+        to = int(min(args.bench_timeout, remaining - reserve))
+        if to < 60:
             print(json.dumps({"metric": name,
                               "error": "skipped: global wall budget "
                                        "exhausted"}), flush=True)
             continue
-        to = int(min(args.bench_timeout, remaining - 20))
         if not _run_subprocess(name, to):
             # Child timed out: distinguish slow-bench from wedged-device
             # before claiming more children.

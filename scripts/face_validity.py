@@ -45,6 +45,15 @@ STRATA = [
     ("deep_small", dict(skin_band="deep", scale_range=(0.06, 0.12))),
     ("occluded", dict(skin_band=None, scale_range=(0.12, 0.3),
                       occlude_prob=1.0)),
+    # Cross-generator strata (round-4 verdict item 9): structurally
+    # different compositor (polygonal heads, 3/4 pose, alt backgrounds,
+    # JPEG/motion-blur degradations) the training family never produces.
+    ("altgen_large", dict(generator="alt", skin_band=None,
+                          scale_range=(0.15, 0.3))),
+    ("altgen_small", dict(generator="alt", skin_band=None,
+                          scale_range=(0.06, 0.12))),
+    ("altgen_occluded", dict(generator="alt", skin_band=None,
+                             scale_range=(0.12, 0.3), occlude_prob=1.0)),
 ]
 
 

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Serial retrain of every bundled model on the widened content+degradation
+# distribution (train/data.py modes 0-3 + train/cli.py mixed bank).
+# One model at a time: single TPU chip. Usage: scripts/retrain_all.sh [log]
+set -u
+LOG="${1:-/tmp/retrain_r4.log}"
+W=video_enhancer_tpu/weights
+CK=/tmp/ckpt_r4
+
+train() { # name steps extra...
+  local name="$1" steps="$2"; shift 2
+  echo "=== $name (steps=$steps) $(date -u +%H:%M:%S) ===" >> "$LOG"
+  timeout 7200 python -m video_enhancer_tpu.train.cli \
+    --model "$name" --steps "$steps" --lr 1.5e-4 \
+    --ckpt-dir "$CK/$name" "$@" >> "$LOG" 2>&1
+  echo "=== $name done rc=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
+}
+
+train vsrm           2500 --scale 4 --init-npz $W/vsrm_4x.npz           --export $W/vsrm_4x.npz
+train fast_mamba_vsr 2500 --scale 4 --init-npz $W/fast_mamba_vsr_4x.npz --export $W/fast_mamba_vsr_4x.npz
+train seedvr2        2500 --scale 1 --init-npz $W/seedvr2_1x.npz        --export $W/seedvr2_1x.npz
+train ditvr          2500 --scale 1 --heads 3 --init-npz $W/ditvr_1x.npz --export $W/ditvr_1x.npz
+train rife           2000 --init-npz $W/rife.npz                        --export $W/rife.npz
+train cnn_upscaler   1500 --scale 2 --init-npz $W/cnn_upscaler_2x.npz   --export $W/cnn_upscaler_2x.npz
+train realesrgan     2500 --scale 4 --init-npz $W/realesrgan_4x.npz     --export $W/realesrgan_4x.npz
+train rvrt           2000 --scale 4 --init-npz $W/rvrt_4x.npz           --export $W/rvrt_4x.npz
+echo "=== ALL DONE $(date -u +%H:%M:%S) ===" >> "$LOG"

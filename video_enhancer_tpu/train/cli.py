@@ -156,9 +156,12 @@ def main(argv=None):
         from .data import make_train_frames
 
         size = (args.crop * 2, args.crop * 2)
+        # One bank per content/motion mode (x2 seeds): spectral+sprites,
+        # mosaic/affine-drift, plaid/subpixel-pan, gradient+polygons.
         frames = np.concatenate(
             [make_demo_frames(64, size)]
-            + [make_train_frames(48, size, seed=s) for s in (1, 2, 3, 4)],
+            + [make_train_frames(48, size, seed=s, mode=s % 4)
+               for s in (1, 2, 3, 4, 5, 6, 7, 8)],
             axis=0)
 
     params, apply_clip = build_model(args.model, args.scale, dim=args.dim,

@@ -124,17 +124,65 @@ def _spectral_texture(rng: np.random.Generator, h: int, w: int,
     return img / max(img.max(), 1e-6)
 
 
+def _mosaic_texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Random rectangular mosaic: piecewise-flat cells with hard edges
+    (the statistic class of cell maps, via a different process than
+    evalgen's Voronoi)."""
+    img = np.empty((h, w, 3), np.float32)
+    img[:] = rng.uniform(0, 1, 3)
+    for _ in range(int(rng.integers(30, 90))):
+        x0, y0 = int(rng.integers(0, w - 4)), int(rng.integers(0, h - 4))
+        bw = int(rng.integers(4, max(w // 3, 5)))
+        bh = int(rng.integers(4, max(h // 3, 5)))
+        img[y0:y0 + bh, x0:x0 + bw] = rng.uniform(0, 1, 3)
+    return img
+
+
+def _plaid_texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Outer sum of two random 1-D step/wave profiles: periodic-ish grid
+    structure (vs evalgen's rotated sinusoidal stripes)."""
+    def profile(n):
+        steps = np.repeat(rng.uniform(0, 1, max(n // int(rng.integers(4, 17)),
+                                                2)), n)[:n]
+        wave = 0.5 + 0.5 * np.sin(np.arange(n) * rng.uniform(0.05, 0.6)
+                                  + rng.uniform(0, 6.28))
+        a = rng.uniform(0.2, 0.8)
+        return a * steps + (1 - a) * wave
+
+    py, px = profile(h)[:, None], profile(w)[None, :]
+    base = (py + px) / 2
+    return np.stack([base * c for c in rng.uniform(0.4, 1.0, 3)],
+                    axis=-1).astype(np.float32)
+
+
 def make_train_frames(frames: int = 48,
                       size_hw: tuple[int, int] = (256, 256),
-                      seed: int = 0) -> np.ndarray:
-    """Diverse training clips: spectral-noise background scrolling with a
-    constant per-clip velocity, plus independently moving ellipse/polygon
-    sprites with per-object velocities and brightness flicker. Returns
-    (frames, h, w, 3) uint8."""
+                      seed: int = 0, mode: int | None = None) -> np.ndarray:
+    """Diverse training clips. ``mode`` selects the content/motion process
+    (None = seeded choice):
+
+    0. spectral-noise background + sprites, integer-pixel scroll (round-4a)
+    1. rectangular-mosaic field under global affine drift — SUBPIXEL
+       resampling motion (cv2.warpAffine per frame)
+    2. plaid/step grid under subpixel translation + brightness drift
+    3. smooth gradient field + polygon sprites with subpixel velocities
+
+    Modes 1-3 were added after the round-4 crossgen measurement: with only
+    mode-0 content the retrained models still scored NEGATIVE on the alt
+    family — its failure axis was content statistics (flat cells, hard
+    edges, periodicity) and resampled subpixel motion, both absent from
+    mode 0. The processes here stay structurally distinct from
+    train/evalgen.py (mosaic!=Voronoi, plaid!=rotated stripes, affine
+    drift parameterization != evalgen's rotate/zoom+sinusoidal warp).
+    Returns (frames, h, w, 3) uint8."""
     import cv2
 
     h, w = size_hw
     rng = np.random.default_rng(seed)
+    if mode is None:
+        mode = int(rng.integers(0, 4))
+    if mode != 0:
+        return _make_warped_clip(rng, frames, h, w, mode)
     slope = rng.uniform(0.8, 2.2)
     bg = np.stack([_spectral_texture(rng, h * 2, w * 2, slope)
                    for _ in range(3)], axis=-1)
@@ -178,6 +226,76 @@ def make_train_frames(frames: int = 48,
                             float(np.degrees(s["phase"])) + 3 * t, 0, 360,
                             color, -1)
         out[t] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
+
+
+def _make_warped_clip(rng: np.random.Generator, frames: int, h: int,
+                      w: int, mode: int) -> np.ndarray:
+    """Subpixel-motion clips (modes 1-3 of make_train_frames)."""
+    import cv2
+
+    pad = 1.35  # canvas margin so affine drift never exposes the border
+    ch, cw = int(h * pad), int(w * pad)
+    if mode == 1:
+        canvas = _mosaic_texture(rng, ch, cw)
+    elif mode == 2:
+        canvas = _plaid_texture(rng, ch, cw)
+    else:
+        ramp_y = np.linspace(0, 1, ch, dtype=np.float32)[:, None, None]
+        ramp_x = np.linspace(0, 1, cw, dtype=np.float32)[None, :, None]
+        c0, c1, c2 = (rng.uniform(0, 1, 3).astype(np.float32)
+                      for _ in range(3))
+        canvas = c0 * (1 - ramp_y) + c1 * ramp_y * (1 - ramp_x) \
+            + c2 * ramp_x
+        for _ in range(int(rng.integers(2, 6))):
+            ctr = rng.integers(10, min(ch, cw) - 10, 2)
+            verts = (ctr + rng.integers(-max(h // 6, 8), max(h // 6, 8) + 1,
+                                        (int(rng.integers(3, 7)), 2)))
+            cv2.fillPoly(canvas, [verts.astype(np.int32)],
+                         rng.uniform(0, 1, 3).tolist())
+    canvas = np.ascontiguousarray(canvas, np.float32)
+
+    # Global affine drift: per-clip constant velocity in translation /
+    # rotation / log-zoom, sampled small enough that frame t stays inside
+    # the padded canvas. Warp is SUBPIXEL (INTER_LINEAR resampling).
+    tvx, tvy = rng.uniform(-1.6, 1.6, 2)
+    if mode == 2:
+        rot_v, zoom_v = 0.0, 0.0   # pure subpixel translation
+    else:
+        rot_v = rng.uniform(-0.5, 0.5)          # deg / frame
+        zoom_v = rng.uniform(-0.003, 0.003)     # log-zoom / frame
+    cx, cy = cw / 2, ch / 2
+    bright_v = rng.uniform(-0.002, 0.002)
+
+    # Sprites with subpixel velocities (drawn pre-warp so they inherit
+    # the resampling).
+    n_sp = int(rng.integers(0, 4)) if mode != 2 else 0
+    sprites = [{
+        "pos": rng.uniform([0, 0], [cw, ch]),
+        "vel": rng.uniform(-2.5, 2.5, 2),
+        "size": rng.uniform(h / 14, h / 5),
+        "color": rng.uniform(0.05, 1.0, 3),
+    } for _ in range(n_sp)]
+
+    out = np.empty((frames, h, w, 3), np.uint8)
+    y0, x0 = (ch - h) // 2, (cw - w) // 2
+    for t in range(frames):
+        img = canvas.copy()
+        for s in sprites:
+            px, py = s["pos"] + s["vel"] * t
+            cv2.circle(img, (int(px) % cw, int(py) % ch),
+                       int(s["size"]), s["color"].tolist(), -1,
+                       lineType=cv2.LINE_AA)
+        ang = rot_v * t
+        z = float(np.exp(zoom_v * t))
+        M = cv2.getRotationMatrix2D((cx, cy), ang, z)
+        M[0, 2] += tvx * t
+        M[1, 2] += tvy * t
+        warped = cv2.warpAffine(img, M, (cw, ch),
+                                flags=cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REFLECT)
+        crop = warped[y0:y0 + h, x0:x0 + w] * (1.0 + bright_v * t)
+        out[t] = np.clip(crop * 255.0, 0, 255).astype(np.uint8)
     return out
 
 

@@ -143,6 +143,160 @@ def make_face_scenes(n: int, size: int = INPUT_SIZE, seed: int = 0,
     return imgs, all_boxes
 
 
+def _draw_alt_face(img, rng, cx, cy, ax, ay, skin_band=None,
+                   occlude=False):
+    """Structurally different face compositor (round-4 verdict item 9):
+    polygonal jaw instead of an ellipse, asymmetric 3/4-pose feature
+    placement, eyebrows/nose-shadow/ears/glasses the training generator
+    never draws. Same skin bands (the claim axis stays comparable)."""
+    import cv2
+
+    skin = _sample_skin(rng, skin_band)
+    pose = float(rng.uniform(-0.35, 0.35))     # lateral feature shift
+    # Polygonal head: 8-point jawline with a chin vertex.
+    angs = np.linspace(-np.pi / 2, 3 * np.pi / 2, 9)[:-1]
+    rx = ax * (1.0 + rng.uniform(-0.08, 0.08, angs.size))
+    ry = ay * (1.0 + rng.uniform(-0.08, 0.08, angs.size))
+    pts = np.stack([cx + rx * np.cos(angs) * (1 + 0.2 * np.sin(angs)),
+                    cy + ry * np.sin(angs)], axis=1)
+    pts[0, 1] += ay * 0.15  # chin point
+    cv2.fillPoly(img, [pts.astype(np.int32)], skin.tolist())
+    # Radial shading (the training faces are flat-shaded).
+    shade = (skin * rng.uniform(0.6, 0.85)).tolist()
+    cv2.ellipse(img, (int(cx + pose * ax), cy), (int(ax * 0.35), ay),
+                0, 60, 300, shade, max(int(ax * 0.12), 1))
+    # Ears.
+    for sx in (-1, 1):
+        cv2.ellipse(img, (cx + sx * int(ax * 0.98), cy),
+                    (max(int(ax * 0.14), 1), max(int(ay * 0.22), 1)),
+                    0, 0, 360, (skin * 0.9).tolist(), -1)
+    eye_dx = int(ax * 0.42)
+    eye_y = cy - int(ay * 0.18)
+    er = max(int(ax * rng.uniform(0.10, 0.16)), 1)
+    iris = rng.uniform(0.05, 0.45, 3).tolist()
+    brow = (skin * 0.35).tolist()
+    for sx in (-1, 1):
+        ex = cx + int(sx * eye_dx + pose * ax * 0.5)
+        # Almond eye: two filled triangles.
+        eye_pts = np.array([[ex - er * 2, eye_y], [ex + er * 2, eye_y],
+                            [ex, eye_y + er]], np.int32)
+        cv2.fillPoly(img, [eye_pts], (0.92, 0.92, 0.9))
+        cv2.circle(img, (ex, eye_y), max(er // 2, 1), iris, -1)
+        # Eyebrow.
+        cv2.line(img, (ex - er * 2, eye_y - er * 2),
+                 (ex + er * 2, eye_y - er * 2 - int(er * rng.uniform(0, 1))),
+                 brow, max(er // 2, 1))
+    if rng.random() < 0.3:  # glasses
+        gl = rng.uniform(0.05, 0.3, 3).tolist()
+        for sx in (-1, 1):
+            cv2.circle(img, (cx + int(sx * eye_dx + pose * ax * 0.5),
+                             eye_y), er * 2, gl, 1)
+        cv2.line(img, (cx - eye_dx + er * 2, eye_y),
+                 (cx + eye_dx - er * 2, eye_y), gl, 1)
+    # Nose: shaded triangle (training uses a single line).
+    nx = cx + int(pose * ax * 0.7)
+    nose = np.array([[nx, cy - int(ay * 0.1)],
+                     [nx - max(int(ax * 0.12), 1), cy + int(ay * 0.22)],
+                     [nx + max(int(ax * 0.16), 1), cy + int(ay * 0.22)]],
+                    np.int32)
+    cv2.fillPoly(img, [nose], (skin * 0.8).tolist())
+    # Lips: two stacked thin rectangles.
+    lw = max(int(ax * rng.uniform(0.3, 0.5)), 2)
+    ly = cy + int(ay * 0.5)
+    lip = (float(rng.uniform(0.45, 0.75)), 0.2, 0.25)
+    cv2.rectangle(img, (cx - lw + int(pose * ax * 0.5), ly - max(lw // 6, 1)),
+                  (cx + lw + int(pose * ax * 0.5), ly + max(lw // 6, 1)),
+                  lip, -1)
+    if rng.random() < 0.35:  # stubble texture on the lower face
+        ys = slice(max(cy, 0), min(cy + ay, img.shape[0]))
+        xs = slice(max(cx - ax, 0), min(cx + ax, img.shape[1]))
+        patch = img[ys, xs]
+        patch -= (rng.random(patch.shape[:2])[..., None] < 0.25) \
+            * rng.uniform(0.05, 0.18)
+    if occlude:
+        oc = rng.uniform(0.1, 0.9, 3).tolist()
+        if rng.random() < 0.5:  # diagonal bar (training uses axis-aligned)
+            p0 = (cx - ax, cy + int(rng.integers(-ay, ay)))
+            p1 = (cx + ax, cy + int(rng.integers(-ay, ay)))
+            cv2.line(img, p0, p1, oc, max(int(ay * 0.4), 2))
+        else:  # hood: top arc filled
+            cv2.ellipse(img, (cx, cy - int(ay * 0.3)),
+                        (int(ax * 1.05), int(ay * 0.8)), 0, 180, 360,
+                        oc, -1)
+    return (cx - ax, cy - ay, 2 * ax, 2 * ay)
+
+
+def make_alt_face_scenes(n: int, size: int = INPUT_SIZE, seed: int = 0,
+                         skin_band: str | None = None,
+                         scale_range: tuple[float, float] = (0.09, 0.3),
+                         occlude_prob: float = 0.0):
+    """Cross-generator eval scenes (round-4 verdict item 9): alt face
+    compositor + low-frequency noise backgrounds + line clutter + JPEG/
+    motion-blur degradations — all structurally disjoint from
+    ``make_face_scenes``. Same return contract."""
+    import cv2
+
+    rng = np.random.default_rng(seed ^ 0x5EED_FACE)
+    imgs = np.empty((n, size, size, 3), np.float32)
+    all_boxes = []
+    for i in range(n):
+        # Low-frequency noise background (vs the training ramp+rects).
+        small = rng.random((6, 6, 3)).astype(np.float32)
+        img = np.ascontiguousarray(
+            cv2.resize(small, (size, size), interpolation=cv2.INTER_CUBIC))
+        img = np.clip(img, 0, 1)
+        for _ in range(int(rng.integers(2, 7))):  # line clutter
+            p0 = tuple(int(v) for v in rng.integers(0, size, 2))
+            p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+            cv2.line(img, p0, p1, rng.uniform(0, 1, 3).tolist(),
+                     int(rng.integers(1, 4)))
+        # Skin-colored polygon distractors.
+        for _ in range(int(rng.integers(0, 3))):
+            dc = (float(rng.uniform(0.5, 0.95)),
+                  float(rng.uniform(0.35, 0.7)),
+                  float(rng.uniform(0.25, 0.6)))
+            ctr = rng.integers(12, size - 12, 2)
+            verts = ctr + rng.integers(-14, 15, (5, 2))
+            cv2.fillPoly(img, [verts.astype(np.int32)], dc)
+
+        boxes = []
+        for _ in range(int(rng.integers(0, 4))):
+            ay = int(size * rng.uniform(*scale_range))
+            ax = max(int(ay * rng.uniform(0.65, 0.95)), 3)
+            cx = int(rng.integers(ax + 1, size - ax - 1))
+            cy = int(rng.integers(ay + 1, size - ay - 1))
+            cand = (cx - ax, cy - ay, 2 * ax, 2 * ay)
+            if any(_iou(cand, b) > 0.2 for b in boxes):
+                continue
+            boxes.append(_draw_alt_face(
+                img, rng, cx, cy, ax, ay, skin_band=skin_band,
+                occlude=bool(rng.random() < occlude_prob)))
+
+        # Degradations the training pipeline never applies: directional
+        # motion blur + JPEG re-encode + gamma shift.
+        if rng.random() < 0.5:
+            k = int(rng.integers(3, 8))
+            kern = np.zeros((k, k), np.float32)
+            kern[k // 2] = 1.0 / k
+            ang = float(rng.uniform(0, 180))
+            rot = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5), ang, 1)
+            kern = cv2.warpAffine(kern, rot, (k, k))
+            kern /= max(kern.sum(), 1e-6)
+            img = cv2.filter2D(img, -1, kern)
+        img = np.clip(img, 0, 1) ** float(rng.uniform(0.8, 1.25))
+        if rng.random() < 0.6:
+            q = int(rng.integers(40, 90))
+            ok, enc = cv2.imencode(
+                ".jpg", (img * 255).astype(np.uint8)[:, :, ::-1],
+                [int(cv2.IMWRITE_JPEG_QUALITY), q])
+            if ok:
+                img = cv2.imdecode(enc, cv2.IMREAD_COLOR)[
+                    :, :, ::-1].astype(np.float32) / 255.0
+        imgs[i] = np.clip(img, 0.0, 1.0)
+        all_boxes.append(boxes)
+    return imgs, all_boxes
+
+
 def _iou(a, b) -> float:
     ax, ay, aw, ah = a
     bx, by, bw, bh = b
@@ -177,13 +331,15 @@ def encode_targets(boxes_per_img, batch: int) -> tuple:
 
 def evaluate(params, n: int = 64, seed: int = 424_242,
              iou_thresh: float = 0.5, detect_fn=None,
-             **scene_kw) -> tuple[float, float]:
+             generator: str = "train", **scene_kw) -> tuple[float, float]:
     """(recall, precision) at IoU 0.5 over held-out synthetic scenes.
 
     ``detect_fn(frame_u8) -> boxes`` overrides the bundled neural detector
     (used by the validity report to score the full chain or an external
-    YuNet-ONNX detector on identical strata); ``scene_kw`` forwards
-    skin_band/scale_range/occlude_prob to ``make_face_scenes``."""
+    YuNet-ONNX detector on identical strata); ``generator`` selects the
+    scene family ("train" = make_face_scenes, "alt" = the structurally
+    disjoint make_alt_face_scenes); ``scene_kw`` forwards
+    skin_band/scale_range/occlude_prob."""
     import jax
 
     from ..analysis import face_net
@@ -192,7 +348,9 @@ def evaluate(params, n: int = 64, seed: int = 424_242,
         fwd = jax.jit(face_net.apply)
         detect_fn = lambda frame: face_net.detect(params, frame,
                                                   forward=fwd)
-    imgs, gt = make_face_scenes(n, seed=seed, **scene_kw)
+    scenes = {"train": make_face_scenes,
+              "alt": make_alt_face_scenes}[generator]
+    imgs, gt = scenes(n, seed=seed, **scene_kw)
     tp = fp = fn = 0
     for i in range(n):
         frame = (imgs[i] * 255).astype(np.uint8)
