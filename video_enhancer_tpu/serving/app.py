@@ -249,13 +249,33 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     r.middleware.append(auth_mw)
 
     def _identity(req) -> tuple[str, bool]:
-        """(owner identity, is_admin). Authenticated keys are identified by
-        key name; anonymous clients by IP, so API keys give data isolation
-        and anonymous users don't share one bucket."""
-        user = getattr(req, "user", None) or {}
-        name = user.get("name") or "anonymous"
-        ident = req.client if name == "anonymous" else name
-        return ident, user.get("role") == "admin"
+        """(owner identity, is_admin). Authenticated keys resolve to their
+        USER ACCOUNT (utils/auth.py create_key ``user`` field — several
+        keys may share one account, quota and job ownership aggregate per
+        account, the zero-egress analog of the reference's HF-OAuth user
+        gating, app.py:1124-1172); anonymous clients resolve to their IP,
+        so anonymous users don't share one bucket."""
+        rec = getattr(req, "user", None) or {}
+        name = rec.get("name") or "anonymous"
+        if name == "anonymous":
+            return req.client, False
+        return rec.get("user") or name, rec.get("role") == "admin"
+
+    def _check_quota(req):
+        """Daily per-ACCOUNT quota (reference user-quota gating,
+        app.py:1124-1172; keyed on the API key's user account, or client
+        IP when anonymous). Returns a 429 Response or None. Applied to
+        every job-creating endpoint (process/auto AND demo)."""
+        quota_key, _ = _identity(req)
+        daily_quota = int(getattr(req, "user", {}).get("daily_quota", 200))
+        used = srv.jobs.count_since(24 * 3600, client=quota_key)
+        if used >= daily_quota:
+            return Response({"error": {
+                "code": "SEC_429",
+                "message": f"daily quota exceeded ({used}/{daily_quota} "
+                           "jobs in 24h)",
+            }}, 429)
+        return None
 
     def _owned_job(req):
         """Job record if it exists AND the requester may access it, else
@@ -344,6 +364,25 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
         status["available_models"] = sorted(srv.enhancer.available)
         return Response(status)
 
+    @r.get("/api/v1/me")
+    def whoami(req):
+        """Caller's account view: identity, role, quota standing (the
+        reference surfaces this via HF OAuth user info, app.py:1124-1172;
+        here identity comes from the API key's user account)."""
+        ident, is_admin = _identity(req)
+        rec = getattr(req, "user", None) or {}
+        daily_quota = int(rec.get("daily_quota", 200))
+        used = srv.jobs.count_since(24 * 3600, client=ident)
+        return Response({
+            "user": ident,
+            "key_name": rec.get("name", "anonymous"),
+            "role": rec.get("role", "user"),
+            "authenticated": rec.get("name", "anonymous") != "anonymous",
+            "daily_quota": daily_quota,
+            "used_24h": used,
+            "remaining_24h": max(daily_quota - used, 0),
+        })
+
     @r.get("/api/v1/strategies")
     def strategies(req):
         avail = sorted(probe_available(srv.policy))
@@ -393,17 +432,10 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
                 "threats": sec["threats"],
             }}, 400)
 
-        # Daily quota per client (reference user-quota gating,
-        # app.py:1124-1172; keyed on API key name or client IP here).
+        quota_err = _check_quota(req)
+        if quota_err is not None:
+            return quota_err
         quota_key, _ = _identity(req)
-        daily_quota = int(getattr(req, "user", {}).get("daily_quota", 200))
-        used = srv.jobs.count_since(24 * 3600, client=quota_key)
-        if used >= daily_quota:
-            return Response({"error": {
-                "code": "SEC_429",
-                "message": f"daily quota exceeded ({used}/{daily_quota} "
-                           "jobs in 24h)",
-            }}, 429)
 
         job_id = uuid.uuid4().hex
         in_path = srv.data_dir / "uploads" / f"{job_id}_{Path(filename).name}"
@@ -459,6 +491,9 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
     def run_demo(req):
         """Generate a synthetic demo video and queue it for enhancement
         (reference demo runner, app.py:1487-1576)."""
+        quota_err = _check_quota(req)
+        if quota_err is not None:
+            return quota_err
         try:
             body = req.json() if req.body else {}
         except Exception:
@@ -599,8 +634,32 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
         key = srv.auth.create_key(body.get("name", "unnamed"),
                                   body.get("role", "user"),
                                   int(body.get("rate_limit", 60)),
-                                  int(body.get("daily_quota", 200)))
+                                  int(body.get("daily_quota", 200)),
+                                  user=body.get("user"))
         return Response({"api_key": key}, status=201)
+
+    @r.get("/api/v1/admin/users")
+    def admin_list_users(req):
+        """Per-account aggregation: keys, roles, 24h usage vs quota."""
+        if _require_admin(req) is None:
+            return Response({"error": {"code": "SEC_403",
+                                       "message": "admin required"}}, 403)
+        users: dict[str, dict] = {}
+        for k in srv.auth.list_keys():
+            u = users.setdefault(k.get("user") or k["name"], {
+                "keys": [], "roles": set(), "daily_quota": 0})
+            u["keys"].append(k["name"])
+            u["roles"].add(k.get("role", "user"))
+            u["daily_quota"] = max(u["daily_quota"],
+                                   int(k.get("daily_quota", 200)))
+        out = []
+        for name, u in sorted(users.items()):
+            out.append({"user": name, "keys": sorted(u["keys"]),
+                        "roles": sorted(u["roles"]),
+                        "daily_quota": u["daily_quota"],
+                        "used_24h": srv.jobs.count_since(24 * 3600,
+                                                         client=name)})
+        return Response({"users": out})
 
     @r.get("/api/v1/admin/keys")
     def admin_list_keys(req):

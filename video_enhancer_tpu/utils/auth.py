@@ -72,7 +72,12 @@ class AuthManager:
 
     # -- key CRUD (reference admin_endpoints.py surface) --------------------
     def create_key(self, name: str, role: str = "user",
-                   rate_limit: int = 60, daily_quota: int = 200) -> str:
+                   rate_limit: int = 60, daily_quota: int = 200,
+                   user: str | None = None) -> str:
+        """``user`` is the owning ACCOUNT (defaults to the key name): the
+        OAuth analog under zero egress (reference app.py:1124-1172 gates
+        quota per HF login). Several keys may share one user, and quota
+        aggregates per user, not per key."""
         if role not in ROLES:
             raise ValueError(f"invalid role {role}")
         key = "vetpu_" + secrets.token_urlsafe(32)
@@ -80,6 +85,7 @@ class AuthManager:
         with self._lock:
             self._keys[self._hash(key, salt)] = {
                 "name": name, "role": role, "salt": salt,
+                "user": user or name,
                 "rate_limit": rate_limit, "daily_quota": daily_quota,
                 "created_at": time.time(), "enabled": True, "uses": 0,
             }

@@ -48,6 +48,11 @@ class SecurityConfig:
     enable_rate_limiting: bool = True
     max_file_bytes: int = 500 * 1024 * 1024
     min_file_bytes: int = 1024
+    # External scanner hook (reference file_security.py ClamAV option):
+    # a command invoked as `<scanner_cmd...> <path>`; nonzero exit =
+    # threat. E.g. VETPU_SCANNER_CMD="clamscan --no-summary".
+    scanner_cmd: str = ""
+    scanner_timeout_s: float = 30.0
 
     @classmethod
     def from_env(cls) -> "SecurityConfig":
@@ -60,6 +65,9 @@ class SecurityConfig:
             enable_threat_scan=flag("VETPU_SEC_SCAN", True),
             enable_encryption=flag("VETPU_SEC_ENCRYPT", False),
             enable_rate_limiting=flag("VETPU_SEC_RATELIMIT", True),
+            scanner_cmd=os.environ.get("VETPU_SCANNER_CMD", ""),
+            scanner_timeout_s=float(
+                os.environ.get("VETPU_SCANNER_TIMEOUT_S", "30")),
         )
 
 
@@ -120,6 +128,40 @@ class SecurityManager:
         self.rate_limiter = RateLimiter(max_requests=120, window_sec=60)
         self._events: list[dict] = []
         self._lock = threading.Lock()
+        # In-process pluggable scanners: fn(filename, data) ->
+        # list[SecurityThreat]. register_scanner() appends; the env-driven
+        # external command (config.scanner_cmd) is wired automatically.
+        self._scanners: list = []
+        if self.config.scanner_cmd:
+            self._scanners.append(self._external_cmd_scanner)
+
+    def register_scanner(self, fn) -> None:
+        """Plug an extra threat scanner into the upload path (reference
+        file_security.py's optional ClamAV hook, generalized). ``fn``
+        receives (filename, data) and returns a list of SecurityThreat;
+        scanner exceptions are logged and treated as a high-severity
+        scan_error (fail closed)."""
+        self._scanners.append(fn)
+
+    def _external_cmd_scanner(self, filename: str,
+                              data: bytes) -> list[SecurityThreat]:
+        import shlex
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+                suffix=Path(filename).suffix or ".bin") as tmp:
+            tmp.write(data)
+            tmp.flush()
+            cmd = shlex.split(self.config.scanner_cmd) + [tmp.name]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=self.config.scanner_timeout_s)
+        if r.returncode != 0:
+            return [SecurityThreat(
+                "external_scanner", "critical",
+                f"{cmd[0]} exit {r.returncode}: "
+                f"{(r.stdout or r.stderr)[:200]}")]
+        return []
 
     def _event(self, kind: str, **extra):
         with self._lock:
@@ -148,6 +190,14 @@ class SecurityManager:
                     f"size {len(data)} outside allowed window"))
         if self.config.enable_threat_scan:
             threats += self.validator.validate_content(filename, data)
+            for scanner in self._scanners:
+                try:
+                    threats += scanner(filename, data)
+                except Exception as e:
+                    log.warning("scanner %r failed: %s", scanner, e)
+                    threats.append(SecurityThreat(
+                        "scan_error", "high",
+                        f"external scanner failed: {str(e)[:120]}"))
 
         blocking = [t for t in threats if t.severity in ("high", "critical")]
         if blocking:
