@@ -25,3 +25,10 @@ train cnn_upscaler   1500 --scale 2 --init-npz $W/cnn_upscaler_2x.npz   --export
 train realesrgan     2500 --scale 4 --init-npz $W/realesrgan_4x.npz     --export $W/realesrgan_4x.npz
 train rvrt           2000 --scale 4 --init-npz $W/rvrt_4x.npz           --export $W/rvrt_4x.npz
 echo "=== ALL DONE $(date -u +%H:%M:%S) ===" >> "$LOG"
+# appended r4b: half-trunk latency preset (own ckpt dir: 3-block tree
+# must not restore the 6-block checkpoint).
+echo "=== realesrgan_fast (steps=2500) $(date -u +%H:%M:%S) ===" >> "$LOG"
+timeout 7200 python -m video_enhancer_tpu.train.cli \
+  --model realesrgan --steps 2500 --lr 2e-4 --scale 4 --layers 3 \
+  --ckpt-dir "$CK/realesrgan_fast" --export $W/realesrgan_fast_4x.npz >> "$LOG" 2>&1
+echo "=== realesrgan_fast done rc=$? $(date -u +%H:%M:%S) ===" >> "$LOG"

@@ -149,8 +149,14 @@ class DegradationRouter:
             return "seedvr2"
         if content["motion_complexity"] > thr.motion_complexity and ok("vsrm"):
             return "vsrm"
-        for cand in ("vsrm", "fast_mamba_vsr", "realesrgan", "cnn_upscaler",
-                     "bicubic"):
+        # Strict latency prefers the half-trunk Real-ESRGAN preset
+        # (policy realesrgan_fast, round-4 verdict item 5).
+        chain = (("fast_mamba_vsr", "realesrgan_fast", "realesrgan",
+                  "cnn_upscaler", "bicubic")
+                 if lc == LatencyClass.STRICT else
+                 ("vsrm", "fast_mamba_vsr", "realesrgan", "cnn_upscaler",
+                  "bicubic"))
+        for cand in chain:
             if ok(cand):
                 return cand
         return "bicubic"

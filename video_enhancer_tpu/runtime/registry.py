@@ -34,6 +34,7 @@ _MODEL_MODULES = {
     "ditvr": "ditvr",
     "rvrt": "rvrt",
     "realesrgan": "realesrgan",
+    "realesrgan_fast": "realesrgan",
     "cnn_upscaler": "upscaler",
     "bicubic": "upscaler",
 }
@@ -243,7 +244,7 @@ def _build(name: str, policy: Policy, seed: int):
             tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
         )
 
-    if name == "realesrgan":
+    if name in ("realesrgan", "realesrgan_fast"):
         from ..models import realesrgan as m
 
         cfg = dict(entry.extra) if entry else {}
