@@ -32,3 +32,11 @@ timeout 7200 python -m video_enhancer_tpu.train.cli \
   --model realesrgan --steps 2500 --lr 2e-4 --scale 4 --layers 3 \
   --ckpt-dir "$CK/realesrgan_fast" --export $W/realesrgan_fast_4x.npz >> "$LOG" 2>&1
 echo "=== realesrgan_fast done rc=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
+# appended r4c: FMV SSD temporal-mixer preset (MXU-form recurrence,
+# round-4 verdict item 2) — fresh tree, own variant weight file.
+echo "=== fast_mamba_vsr[ssd] (steps=2500) $(date -u +%H:%M:%S) ===" >> "$LOG"
+timeout 7200 python -m video_enhancer_tpu.train.cli \
+  --model fast_mamba_vsr --steps 2500 --lr 2e-4 --scale 4 \
+  --temporal-mixer ssd --ckpt-dir "$CK/fmv_ssd" \
+  --export $W/fast_mamba_vsr_ssd_4x.npz >> "$LOG" 2>&1
+echo "=== fast_mamba_vsr[ssd] done rc=$? $(date -u +%H:%M:%S) ===" >> "$LOG"

@@ -225,8 +225,5 @@ def test_fmv_ssd_temporal_mixer_preset():
     g = jax.grad(lambda pp: jnp.sum(fmv.apply(pp, x, scale=2) ** 2))(p)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(a))) for a in leaves)
-    # ssd temporal preset is single-chip: exact T-sharding must refuse
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        fmv.apply(p, x, scale=2, time_axis="time")
+    # Exact T-sharding of the ssd preset is covered on the 8-device mesh
+    # by test_temporal_parallel.py::test_exact_sharded_fmv_ssd_mixer.

@@ -21,8 +21,15 @@ def test_deblur_modules_identity_untrained():
 def test_seedvr2_size_presets():
     from video_enhancer_tpu.models.ditvr import SIZE_PRESETS
 
-    assert SIZE_PRESETS["3b"] == {"dim": 1536, "depth": 24, "heads": 24}
-    assert SIZE_PRESETS["7b"] == {"dim": 2048, "depth": 32, "heads": 32}
+    # Preset dims are sized so the ACTUAL param count matches the name
+    # (~18*dim^2*depth for an AdaLN DiT block): 3b -> 3.06B, 7b -> 7.1B.
+    assert SIZE_PRESETS["3b"] == {"dim": 2304, "depth": 32, "heads": 24}
+    assert SIZE_PRESETS["7b"] == {"dim": 3072, "depth": 42, "heads": 24}
+    for name, cfg in (("3b", SIZE_PRESETS["3b"]),
+                      ("7b", SIZE_PRESETS["7b"])):
+        approx = 18 * cfg["dim"] ** 2 * cfg["depth"]
+        target = float(name.replace("b", "")) * 1e9
+        assert 0.85 * target < approx < 1.15 * target, (name, approx)
 
     from video_enhancer_tpu.models.seedvr2_sizes import make_seedvr2
 

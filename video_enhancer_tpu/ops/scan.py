@@ -909,9 +909,14 @@ def _fused_bissm_impl(u_pre, gate, cw, cb, wx, wdt, bdt, dtbf, dtbb,
     B, L, Dd = u_pre.shape
     N = Af.shape[1]
     K = cw.shape[0]
-    # BB=256 blows the 16M scoped-VMEM stack (17.4M): the twice-unrolled
-    # L loop keeps h/decay intermediates live across the unroll. 128 fits.
-    BB = 128
+    # The scoped-VMEM stack scales ~ BB*L: the twice-unrolled L loop keeps
+    # h/decay intermediates live across the unroll, and the TPU stack limit
+    # is 16M. Measured at Dd=96: BB*L=2048 needs ~17.5M (BB=256,L=8 ->
+    # 17.4M; BB=128,L=16 -> 17.86M, caught live as a silent bicubic
+    # fallback in the e2e pipeline at chunk=16); BB*L=1024 fits. Keep
+    # BB=128 for L<=8 (the benched config) and shrink BB for longer
+    # chunks so every chunk length compiles.
+    BB = min(128, max(8, (1024 // max(L, 1)) // 8 * 8))
     pad_b = (-B) % BB
 
     def padb(a):

@@ -146,8 +146,15 @@ def _build(name: str, policy: Policy, seed: int):
 
         dim = int(entry.extra.get("dim", 48)) if entry else 48
         layers = int(entry.extra.get("num_layers", 8)) if entry else 8
+        # Temporal-mixer preset (policy extra): "ssm" (default) or "ssd"
+        # (MXU-form recurrence; weights fast_mamba_vsr_ssd_4x.npz — the
+        # variant suffix keeps checkpoints architecture-exact).
+        mixer = str(entry.extra.get("temporal_mixer", "ssm")) if entry \
+            else "ssm"
         params, _ = _load_or_init(name, entry, m.init, dim=dim,
-                                  num_layers=layers, scale=entry.scale)
+                                  num_layers=layers, scale=entry.scale,
+                                  variant="" if mixer == "ssm" else mixer,
+                                  temporal_mixer=mixer)
         return VSRHandler(
             name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
             scale=entry.scale, chunk=entry.chunk, overlap=entry.overlap,

@@ -160,6 +160,26 @@ def model_entry(name: str):
                                scale=4)[0],
                 lambda p, x: m.apply(p, x, scale=4),
                 WEIGHTS_DIR / "fast_mamba_vsr_4x.npz", "vsr4")
+    if name == "fast_mamba_vsr_ssd":
+        from ..models import fast_mamba_vsr as m
+
+        return (lambda: m.init(jax.random.PRNGKey(0), dim=48, num_layers=8,
+                               scale=4, temporal_mixer="ssd")[0],
+                lambda p, x: m.apply(p, x, scale=4),
+                WEIGHTS_DIR / "fast_mamba_vsr_ssd_4x.npz", "vsr4")
+    if name == "realesrgan_fast":
+        from ..models import realesrgan as m
+
+        def apply_clip_fast(p, clip):
+            b, t = clip.shape[0], clip.shape[1]
+            fr = clip.reshape((b * t,) + clip.shape[2:])
+            out = m.apply(p, fr, scale=4)
+            return out.reshape((b, t) + out.shape[1:])
+
+        return (lambda: m.init(jax.random.PRNGKey(0), features=64,
+                               num_blocks=3)[0],
+                apply_clip_fast, WEIGHTS_DIR / "realesrgan_fast_4x.npz",
+                "vsr4")
     if name == "rvrt":
         from ..models import rvrt as m
 
