@@ -1,0 +1,23 @@
+
+
+def test_compound_augmentation_train_only():
+    """pair_iterator stacks a second degradation pass with probability
+    compound_p; make_pairs' default (0) stays byte-identical so the
+    held-out ind eval family is unmoved by the training-side knob."""
+    import numpy as np
+
+    from video_enhancer_tpu.train.data import make_pairs
+
+    fr = np.random.default_rng(0).random((8, 96, 96, 3)).astype(np.float32)
+    a = make_pairs(fr, 3, 3, 48, 4, seed=5)
+    b = make_pairs(fr, 3, 3, 48, 4, seed=5, compound_p=0.0)
+    assert np.array_equal(a["lr"], b["lr"])
+    assert np.array_equal(a["hr"], b["hr"])
+    c = make_pairs(fr, 3, 3, 48, 4, seed=5, compound_p=1.0)
+    # Item 0 shares the rng stream up to the first compound draw: its HR
+    # crop is identical while its LR gained a second degradation pass.
+    # (Later items' crops legitimately shift — the extra draw advances
+    # the stream.)
+    assert np.array_equal(c["hr"][0], a["hr"][0])
+    assert not np.array_equal(c["lr"][0], a["lr"][0])
+    assert c["lr"].min() >= 0.0 and c["lr"].max() <= 1.0

@@ -300,12 +300,20 @@ def _make_warped_clip(rng: np.random.Generator, frames: int, h: int,
 
 
 def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
-               crop: int, scale: int, seed: int = 0) -> dict:
+               crop: int, scale: int, seed: int = 0,
+               compound_p: float = 0.0) -> dict:
     """Sample a batch of (lr, hr) clip pairs from source frames.
 
     frames: (N, H, W, 3) uint8 or float. Returns numpy dict
     {"lr": (B,T,h,w,3), "hr": (B,T,H,W,3)} float32 in [0,1].
-    """
+
+    ``compound_p``: probability of a SECOND degradation pass on the LR
+    (``_degrade`` at scale 1 — blur/noise/quant/jpeg stacked on the first
+    draw). Training-only knob (pair_iterator sets it): with independent
+    per-op draws a stacked chain is a ~3% event, so models never learned
+    compound captures — the measured cause of the negative transfer to
+    the compound-chain alt eval family (train/evalgen.py). The default 0
+    keeps the held-out ``ind`` eval (evalsuite) byte-stable."""
     rng = np.random.default_rng(seed)
     if frames.dtype == np.uint8:
         frames = frames.astype(np.float32) / 255.0
@@ -321,16 +329,19 @@ def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
         clip_hr = frames[t0:t0 + clip_len, y:y + crop, x:x + crop]
         hr[b] = clip_hr
         lr[b] = _degrade(clip_hr, scale, rng)
+        if compound_p and rng.random() < compound_p:
+            lr[b] = _degrade(lr[b], 1, rng)
     return {"lr": lr, "hr": hr}
 
 
 def pair_iterator(frames: np.ndarray, batch: int, clip_len: int, crop: int,
-                  scale: int, seed: int = 0):
-    """Infinite iterator of training batches."""
+                  scale: int, seed: int = 0, compound_p: float = 0.35):
+    """Infinite iterator of training batches (compound-chain augmentation
+    on by default — see make_pairs)."""
     step = 0
     while True:
         yield make_pairs(frames, batch, clip_len, crop, scale,
-                         seed=seed + step)
+                         seed=seed + step, compound_p=compound_p)
         step += 1
 
 
