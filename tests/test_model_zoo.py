@@ -175,8 +175,47 @@ def test_registry_builds_all_models():
     from video_enhancer_tpu.runtime.registry import probe_available
 
     avail = probe_available()
-    assert {"fast_mamba_vsr", "vsrm", "seedvr2", "ditvr", "rvrt",
-            "realesrgan", "cnn_upscaler", "bicubic"} <= avail
+    assert {"fast_mamba_vsr", "fast_mamba_vsr_ssd", "vsrm", "seedvr2",
+            "ditvr", "rvrt", "realesrgan", "realesrgan_fast",
+            "cnn_upscaler", "bicubic"} <= avail
+
+
+def test_registry_ssd_preset_serving():
+    """The fast_mamba_vsr_ssd policy entry builds a handler whose params
+    are the SSD-mixer tree (structural dispatch key: norm_scale) and whose
+    weights resolve to the variant-suffixed npz when bundled."""
+    import pathlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import video_enhancer_tpu
+    from video_enhancer_tpu.models import fast_mamba_vsr as fmv
+    from video_enhancer_tpu.runtime.registry import build_handler
+    from video_enhancer_tpu.runtime.weights import try_load_params
+
+    h = build_handler("fast_mamba_vsr_ssd")
+    mix = h.params["layers"][0]["bimamba"]
+    assert "norm_scale" in mix, "handler built the ssm tree, not ssd"
+
+    npz = (pathlib.Path(video_enhancer_tpu.__file__).parent / "weights"
+           / "fast_mamba_vsr_ssd_4x.npz")
+    if npz.exists():
+        import jax
+
+        fresh, _ = fmv.init(jax.random.PRNGKey(0), dim=48, num_layers=8,
+                            scale=4, temporal_mixer="ssd")
+        want = try_load_params(npz, fresh)
+        got = np.asarray(h.params["layers"][0]["bimamba"]["norm_scale"],
+                         dtype=np.float32)
+        want_a = np.asarray(want["layers"][0]["bimamba"]["norm_scale"],
+                            dtype=np.float32)
+        # Serving params are bf16-cast: compare at bf16 precision.
+        assert np.allclose(got, want_a, rtol=8e-3, atol=8e-3), \
+            "variant npz not actually loaded"
+
+    out = h.process_clip(jnp.zeros((4, 32, 32, 3), jnp.float32))
+    assert out.shape == (4, 128, 128, 3)
 
 
 def test_diffusion_sample_loop():

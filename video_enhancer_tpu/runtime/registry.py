@@ -29,6 +29,7 @@ def available_models(policy: Policy | None = None) -> list[str]:
 
 _MODEL_MODULES = {
     "fast_mamba_vsr": "fast_mamba_vsr",
+    "fast_mamba_vsr_ssd": "fast_mamba_vsr",
     "vsrm": "vsrm",
     "seedvr2": "seedvr2",
     "ditvr": "ditvr",
@@ -141,17 +142,20 @@ def _build(name: str, policy: Policy, seed: int):
         return CnnUpscalerHandler(scale=scale, use_cnn=name == "cnn_upscaler",
                                   seed=seed, weights_path=weights)
 
-    if name == "fast_mamba_vsr":
+    if name in ("fast_mamba_vsr", "fast_mamba_vsr_ssd"):
         from ..models import fast_mamba_vsr as m
 
         dim = int(entry.extra.get("dim", 48)) if entry else 48
         layers = int(entry.extra.get("num_layers", 8)) if entry else 8
-        # Temporal-mixer preset (policy extra): "ssm" (default) or "ssd"
-        # (MXU-form recurrence; weights fast_mamba_vsr_ssd_4x.npz — the
-        # variant suffix keeps checkpoints architecture-exact).
-        mixer = str(entry.extra.get("temporal_mixer", "ssm")) if entry \
-            else "ssm"
-        params, _ = _load_or_init(name, entry, m.init, dim=dim,
+        # Temporal-mixer preset: "ssm" (default) or "ssd" (MXU-form
+        # recurrence). Selectable two ways, like realesrgan_fast: the
+        # dedicated policy name fast_mamba_vsr_ssd, or extra.temporal_mixer
+        # on the base entry. The variant suffix on the BASE stem keeps
+        # checkpoints architecture-exact (fast_mamba_vsr_ssd_4x.npz).
+        default_mixer = "ssd" if name.endswith("_ssd") else "ssm"
+        mixer = (str(entry.extra.get("temporal_mixer", default_mixer))
+                 if entry else default_mixer)
+        params, _ = _load_or_init("fast_mamba_vsr", entry, m.init, dim=dim,
                                   num_layers=layers, scale=entry.scale,
                                   variant="" if mixer == "ssm" else mixer,
                                   temporal_mixer=mixer)
