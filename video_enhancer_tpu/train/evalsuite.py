@@ -247,3 +247,62 @@ def bundled_gain(name: str, family: str, n_seeds: int = 8) -> float:
     if kind == "restore":
         return restore_gain(apply_fn, params, family, n_seeds=n_seeds)
     return interp_gain(apply_fn, params, family, n_seeds=n_seeds)
+
+
+def gain_for_npz(name: str, npz_path, family: str,
+                 n_seeds: int = 6) -> float:
+    """bundled_gain, but for an arbitrary weights file (same architecture
+    entry as ``name``)."""
+    import pathlib as _pl
+
+    from ..runtime.weights import try_load_params
+
+    init_fn, apply_fn, _, kind = model_entry(name)
+    params = try_load_params(_pl.Path(npz_path), init_fn())
+    assert params is not None, f"weights failed to load: {npz_path}"
+    if kind == "vsr4":
+        return vsr_gain(apply_fn, params, family, 4, n_seeds=n_seeds)
+    if kind == "vsr2":
+        return vsr_gain(apply_fn, params, family, 2, n_seeds=n_seeds)
+    if kind == "restore":
+        return restore_gain(apply_fn, params, family, n_seeds=n_seeds)
+    return interp_gain(apply_fn, params, family, n_seeds=n_seeds)
+
+
+def _main(argv=None):
+    """Retrain eval gate (round 4): measured twice this round, a warm
+    retrain whose TRAIN loss looked fine shipped an eval REGRESSION
+    (cnn_upscaler +0.087 -> +0.071 at lr 1.5e-4; rife +1.93 -> -1.26 on a
+    flat-plateau run). ``--compare-npz`` measures the bundled weights
+    against a pre-train snapshot and exits 1 when the new export is worse,
+    so scripts/retrain_all.sh can auto-revert instead of silently shipping
+    the regression."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("model")
+    p.add_argument("--family", default="ind", choices=["ind", "alt"])
+    p.add_argument("--n-seeds", type=int, default=6)
+    p.add_argument("--compare-npz", default=None,
+                   help="pre-train snapshot; exit 1 if bundled < snapshot")
+    args = p.parse_args(argv)
+
+    cur = bundled_gain(args.model, args.family, n_seeds=args.n_seeds)
+    out = {"model": args.model, "family": args.family,
+           "gain_db": round(cur, 3)}
+    rc = 0
+    if args.compare_npz:
+        prev = gain_for_npz(args.model, args.compare_npz, args.family,
+                            n_seeds=args.n_seeds)
+        out["snapshot_gain_db"] = round(prev, 3)
+        rc = 1 if cur < prev else 0
+        out["verdict"] = "regression" if rc else "ok"
+    print(json.dumps(out))
+    return rc
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(_main())
