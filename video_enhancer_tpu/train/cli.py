@@ -125,6 +125,10 @@ def main(argv=None):
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--mesh-space", type=int, default=1)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--time-budget-s", type=float, default=None,
+                   help="stop training cleanly after this many seconds "
+                        "(checkpoint + export still run; resumable via "
+                        "--ckpt-dir)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
 
@@ -214,6 +218,11 @@ def main(argv=None):
                     "sec_per_step": round((time.time() - t0) /
                                           max(i + 1 - start, 1), 3),
                 }))
+                if (args.time_budget_s is not None
+                        and time.time() - t0 > args.time_budget_s):
+                    print(f"time budget {args.time_budget_s}s reached at "
+                          f"step {i + 1}; stopping early")
+                    break
         losses.extend(float(v) for v in jax.device_get(pending))
         if args.ckpt_dir:
             step = save_checkpoint(args.ckpt_dir, state)
