@@ -45,7 +45,13 @@ class VideoEnhancementAgent(BaseAgent):
         def ok(n):
             return n in self.available
 
-        if task.model_preference and ok(task.model_preference):
+        # Explicit preference bypasses quality qualification (but not
+        # enabled/importable probing): qualification gates automatic
+        # dispatch, never user intent (runtime/qualification.py).
+        if task.model_preference and (
+                ok(task.model_preference)
+                or task.model_preference in probe_available(
+                    self.policy, include_disqualified=True)):
             return task.model_preference
         if task.task_type == TaskType.FAST_ENHANCEMENT or \
                 task.quality == Quality.FAST:

@@ -46,7 +46,16 @@ class DegradationRouter:
     def __init__(self, policy: Policy | None = None,
                  available_models: set[str] | None = None):
         self.policy = policy or default_policy()
-        self.available = available_models or set(self.policy.enabled_models())
+        if available_models is None:
+            # Enabled minus measured-negative models (runtime/
+            # qualification.py): a model whose bundled weights measure
+            # <= 0 dB gain must never be an auto-routed primary. The
+            # reference auto-routes blind (degradation_router.py:418-471).
+            from ..runtime.qualification import disqualified_models
+
+            available_models = (set(self.policy.enabled_models())
+                                - disqualified_models())
+        self.available = available_models
 
     # -- public API --------------------------------------------------------
     def analyze_and_route(

@@ -41,9 +41,16 @@ _MODEL_MODULES = {
 }
 
 
-def probe_available(policy: Policy | None = None) -> set[str]:
-    """Importable + policy-enabled models (reference availability probing,
-    degradation_router.py:72-108 does the same with torch imports)."""
+def probe_available(policy: Policy | None = None, *,
+                    include_disqualified: bool = False) -> set[str]:
+    """Importable + policy-enabled + quality-qualified models (reference
+    availability probing, degradation_router.py:72-108 does the same with
+    torch imports; the measured-gain demotion is new surface — the
+    reference never measures its own weights).
+
+    ``include_disqualified=True`` returns the raw availability set, for
+    explicit-request paths (``task.model_preference``) where qualification
+    must not override user intent."""
     import importlib
 
     policy = policy or default_policy()
@@ -57,6 +64,10 @@ def probe_available(policy: Policy | None = None) -> set[str]:
             out.add(name)
         except ImportError:
             pass
+    if not include_disqualified:
+        from .qualification import disqualified_models
+
+        out -= disqualified_models()
     return out
 
 

@@ -161,11 +161,12 @@ def main(argv=None):
 
         size = (args.crop * 2, args.crop * 2)
         # One bank per content/motion mode (x2 seeds): spectral+sprites,
-        # mosaic/affine-drift, plaid/subpixel-pan, gradient+polygons.
+        # mosaic/affine-drift, plaid/subpixel-pan, gradient+polygons,
+        # flow-field warp (round 5, non-rigid subpixel motion everywhere).
         frames = np.concatenate(
             [make_demo_frames(64, size)]
-            + [make_train_frames(48, size, seed=s, mode=s % 4)
-               for s in (1, 2, 3, 4, 5, 6, 7, 8)],
+            + [make_train_frames(48, size, seed=s, mode=s % 5)
+               for s in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)],
             axis=0)
 
     params, apply_clip = build_model(args.model, args.scale, dim=args.dim,
@@ -218,11 +219,15 @@ def main(argv=None):
                     "sec_per_step": round((time.time() - t0) /
                                           max(i + 1 - start, 1), 3),
                 }))
-                if (args.time_budget_s is not None
-                        and time.time() - t0 > args.time_budget_s):
-                    print(f"time budget {args.time_budget_s}s reached at "
-                          f"step {i + 1}; stopping early")
-                    break
+            # Budget check every iteration (cheap — no device sync), not
+            # only at log points: a slow step could otherwise overshoot by
+            # up to log_every steps, and a run with steps < log_every would
+            # never stop early at all.
+            if (args.time_budget_s is not None
+                    and time.time() - t0 > args.time_budget_s):
+                print(f"time budget {args.time_budget_s}s reached at "
+                      f"step {i + 1}; stopping early")
+                break
         losses.extend(float(v) for v in jax.device_get(pending))
         if args.ckpt_dir:
             step = save_checkpoint(args.ckpt_dir, state)

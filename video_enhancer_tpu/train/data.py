@@ -30,13 +30,13 @@ __all__ = ["make_pairs", "pair_iterator", "make_triplets",
 
 
 def _rand_blur(f: np.ndarray, kind: int, sigma: float,
-               mkernel: np.ndarray | None):
+               mkernel: np.ndarray | None, ksize: int = 5):
     import cv2
 
     if kind == 0:
         return f  # no blur
     if kind == 1:
-        return cv2.GaussianBlur(f, (5, 5), sigma)
+        return cv2.GaussianBlur(f, (ksize, ksize), sigma)
     return cv2.filter2D(f, -1, mkernel)
 
 
@@ -60,29 +60,53 @@ def _rand_motion_kernel(rng: np.random.Generator, ksize: int = 5
     return k / s
 
 
-def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator
-             ) -> np.ndarray:
+def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator,
+             wide: bool = False) -> np.ndarray:
     """Wide randomized degradation: one draw per clip (consistent within
-    the clip, like a real capture chain)."""
+    the clip, like a real capture chain).
+
+    ``wide=True`` (training only — pair_iterator sets it; the held-out
+    ``ind`` eval keeps the default so round-4 numbers stay comparable)
+    raises the severity ceiling and the per-op firing rates: round-4
+    measured negative transfer to compound-degraded content
+    (BENCH_RESULTS.md round-4 table, alt column), and the default chain's
+    independent draws make "every op fires hard" a rare event — blur
+    capped at 5x5/sigma 2, noise at 0.04, and each op skipped 1/3 of the
+    time. Wide mode: blur up to 9x9/sigma 3 and fires 4/5 of the time,
+    noise to 0.06, quantization p 0.45 with 4-bit floor, compression
+    fires 4/5 of the time with JPEG q down to 30."""
     import cv2
 
     t, h, w, _ = hr.shape
     lh, lw = h // scale, w // scale
     lr = np.empty((t, lh, lw, 3), np.float32)
 
-    blur_kind = int(rng.integers(0, 3))      # none / gaussian / motion
-    sigma = rng.uniform(0.2, 2.0)
-    mkernel = _rand_motion_kernel(rng) if blur_kind == 2 else None
+    if wide:
+        blur_kind = int(rng.choice(3, p=[0.2, 0.4, 0.4]))
+        ksize = int(rng.choice([5, 7, 9]))
+        sigma = rng.uniform(0.2, 3.0)
+        noise_kind = int(rng.choice(3, p=[0.2, 0.4, 0.4]))
+        noise_std = rng.uniform(0.005, 0.06)
+        quantize = rng.random() < 0.45
+        qbits_lo = 4
+        comp_kind = int(rng.choice(3, p=[0.2, 0.4, 0.4]))
+        jpeg_q = int(rng.integers(30, 90))
+    else:
+        blur_kind = int(rng.integers(0, 3))  # none / gaussian / motion
+        ksize = 5
+        sigma = rng.uniform(0.2, 2.0)
+        noise_kind = int(rng.integers(0, 3))  # none / gaussian / uniform
+        noise_std = rng.uniform(0.005, 0.04)
+        quantize = rng.random() < 0.3
+        qbits_lo = 5
+        comp_kind = int(rng.integers(0, 3))  # none / resize smear / jpeg
+        jpeg_q = int(rng.integers(40, 90))
+    mkernel = _rand_motion_kernel(rng, ksize) if blur_kind == 2 else None
     interp = [cv2.INTER_AREA, cv2.INTER_LINEAR,
               cv2.INTER_CUBIC][int(rng.integers(0, 3))]
-    noise_kind = int(rng.integers(0, 3))     # none / gaussian / uniform
-    noise_std = rng.uniform(0.005, 0.04)
-    quantize = rng.random() < 0.3
-    comp_kind = int(rng.integers(0, 3))      # none / resize smear / jpeg
-    jpeg_q = int(rng.integers(40, 90))
 
     for i in range(t):
-        f = _rand_blur(hr[i], blur_kind, sigma, mkernel)
+        f = _rand_blur(hr[i], blur_kind, sigma, mkernel, ksize)
         lr[i] = cv2.resize(f, (lw, lh), interpolation=interp)
     if noise_kind == 1:
         lr += rng.normal(0, noise_std, lr.shape).astype(np.float32)
@@ -90,7 +114,7 @@ def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator
         lr += rng.uniform(-noise_std * 1.7, noise_std * 1.7,
                           lr.shape).astype(np.float32)
     if quantize:
-        bits = int(rng.integers(5, 7))
+        bits = int(rng.integers(qbits_lo, 7))
         levels = (1 << bits) - 1
         lr = np.floor(np.clip(lr, 0, 1) * levels + 0.5) / levels
     if comp_kind == 1:
@@ -166,6 +190,11 @@ def make_train_frames(frames: int = 48,
        resampling motion (cv2.warpAffine per frame)
     2. plaid/step grid under subpixel translation + brightness drift
     3. smooth gradient field + polygon sprites with subpixel velocities
+    4. composite texture under a smooth random FLOW-FIELD warp + a
+       random-walk camera (round 5): every pixel moves non-rigidly with
+       its own subpixel velocity — the motion class the alt eval family
+       exercises (its warpAffine camera + remap deformation) that modes
+       0-3 never produce (they move rigid wholes or sprites)
 
     Modes 1-3 were added after the round-4 crossgen measurement: with only
     mode-0 content the retrained models still scored NEGATIVE on the alt
@@ -173,14 +202,18 @@ def make_train_frames(frames: int = 48,
     edges, periodicity) and resampled subpixel motion, both absent from
     mode 0. The processes here stay structurally distinct from
     train/evalgen.py (mosaic!=Voronoi, plaid!=rotated stripes, affine
-    drift parameterization != evalgen's rotate/zoom+sinusoidal warp).
+    drift parameterization != evalgen's rotate/zoom+sinusoidal warp,
+    mode 4's Gaussian-smoothed random flow + integrated-random-walk
+    camera != evalgen's analytic sinusoidal warp + sinusoidal camera).
     Returns (frames, h, w, 3) uint8."""
     import cv2
 
     h, w = size_hw
     rng = np.random.default_rng(seed)
     if mode is None:
-        mode = int(rng.integers(0, 4))
+        mode = int(rng.integers(0, 5))
+    if mode == 4:
+        return _make_flow_clip(rng, frames, h, w)
     if mode != 0:
         return _make_warped_clip(rng, frames, h, w, mode)
     slope = rng.uniform(0.8, 2.2)
@@ -299,9 +332,62 @@ def _make_warped_clip(rng: np.random.Generator, frames: int, h: int,
     return out
 
 
+def _make_flow_clip(rng: np.random.Generator, frames: int, h: int,
+                    w: int) -> np.ndarray:
+    """Mode 4 of make_train_frames: non-rigid subpixel motion everywhere.
+
+    A composite texture canvas is advected by a per-pixel constant
+    velocity field (Gaussian-blurred white noise, i.e. a smooth random
+    flow) while an integrated-random-walk camera pans the crop. Every
+    output pixel is produced by cv2.remap resampling each frame."""
+    import cv2
+
+    pad = 1.3
+    ch, cw = int(h * pad), int(w * pad)
+    slope = rng.uniform(0.8, 2.0)
+    mix = rng.uniform(0.25, 0.75)
+    canvas = np.stack([
+        mix * _spectral_texture(rng, ch, cw, slope)
+        + (1 - mix) * _mosaic_texture(rng, ch, cw)[..., c]
+        for c in range(3)
+    ], axis=-1).astype(np.float32)
+    canvas *= rng.uniform(0.5, 1.0, (1, 1, 3)).astype(np.float32)
+
+    # Smooth random flow: blur white noise to ~h/6 correlation length,
+    # scale to a subpixel per-frame velocity.
+    vmax = rng.uniform(0.3, 1.4)  # px / frame
+    sig = max(h, w) / 6.0
+    flow = np.stack([cv2.GaussianBlur(rng.standard_normal((ch, cw))
+                                      .astype(np.float32), (0, 0), sig)
+                     for _ in range(2)], axis=-1)
+    flow *= vmax / max(np.abs(flow).max(), 1e-6)
+
+    # Integrated-random-walk camera: velocity is a cumulative sum of small
+    # kicks (direction changes over the clip, unlike a constant drift).
+    kicks = rng.normal(0, 0.25, (frames, 2)).astype(np.float32)
+    vel = np.cumsum(kicks, axis=0)
+    cam = np.cumsum(vel, axis=0)
+    cam -= cam.mean(axis=0, keepdims=True)
+    lim = (min(ch - h, cw - w) / 2.0) * 0.9
+    scale_cam = lim / max(np.abs(cam).max(), 1e-6)
+    cam *= min(1.0, scale_cam)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    y0, x0 = (ch - h) // 2, (cw - w) // 2
+    out = np.empty((frames, h, w, 3), np.uint8)
+    for t in range(frames):
+        mx = xx + x0 + cam[t, 0] + t * flow[y0:y0 + h, x0:x0 + w, 0]
+        my = yy + y0 + cam[t, 1] + t * flow[y0:y0 + h, x0:x0 + w, 1]
+        fr = cv2.remap(canvas, mx.astype(np.float32),
+                       my.astype(np.float32), cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_REFLECT)
+        out[t] = np.clip(fr * 255.0, 0, 255).astype(np.uint8)
+    return out
+
+
 def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
                crop: int, scale: int, seed: int = 0,
-               compound_p: float = 0.0) -> dict:
+               compound_p: float = 0.0, wide: bool = False) -> dict:
     """Sample a batch of (lr, hr) clip pairs from source frames.
 
     frames: (N, H, W, 3) uint8 or float. Returns numpy dict
@@ -328,20 +414,24 @@ def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
         x = rng.integers(0, max(W - crop, 1))
         clip_hr = frames[t0:t0 + clip_len, y:y + crop, x:x + crop]
         hr[b] = clip_hr
-        lr[b] = _degrade(clip_hr, scale, rng)
+        lr[b] = _degrade(clip_hr, scale, rng, wide=wide)
         if compound_p and rng.random() < compound_p:
-            lr[b] = _degrade(lr[b], 1, rng)
+            lr[b] = _degrade(lr[b], 1, rng, wide=wide)
     return {"lr": lr, "hr": hr}
 
 
 def pair_iterator(frames: np.ndarray, batch: int, clip_len: int, crop: int,
-                  scale: int, seed: int = 0, compound_p: float = 0.35):
+                  scale: int, seed: int = 0, compound_p: float = 0.35,
+                  wide: bool = True):
     """Infinite iterator of training batches (compound-chain augmentation
-    on by default — see make_pairs)."""
+    AND the widened-severity degradation bank on by default — see
+    make_pairs/_degrade; both are training-only knobs, the eval keeps
+    make_pairs defaults)."""
     step = 0
     while True:
         yield make_pairs(frames, batch, clip_len, crop, scale,
-                         seed=seed + step, compound_p=compound_p)
+                         seed=seed + step, compound_p=compound_p,
+                         wide=wide)
         step += 1
 
 

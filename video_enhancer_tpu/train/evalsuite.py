@@ -269,6 +269,41 @@ def gain_for_npz(name: str, npz_path, family: str,
     return interp_gain(apply_fn, params, family, n_seeds=n_seeds)
 
 
+ALL_MODELS = ("vsrm", "fast_mamba_vsr", "fast_mamba_vsr_ssd", "rvrt",
+              "realesrgan", "realesrgan_fast", "cnn_upscaler", "ditvr",
+              "seedvr2", "rife")
+
+
+def write_qualification_report(path=None, n_seeds: int = 6,
+                               models=ALL_MODELS) -> dict:
+    """Measure every bundled model on both eval families and write the
+    machine-readable qualification report the serving path consults
+    (runtime/qualification.py): model -> {ind, alt} mean gain in dB.
+    Models without bundled weights are skipped (absent from the report =
+    not demoted)."""
+    import json
+
+    from ..runtime.qualification import report_path
+
+    out = {}
+    for name in models:
+        entry = {}
+        for family in ("ind", "alt"):
+            try:
+                entry[family] = round(
+                    bundled_gain(name, family, n_seeds=n_seeds), 3)
+            except FileNotFoundError:
+                break
+        if entry:
+            out[name] = entry
+    report = {"n_seeds": n_seeds,
+              "gain_unit": "dB PSNR vs non-ML fallback, mean over seeds",
+              "models": out}
+    dest = pathlib.Path(path) if path else report_path()
+    dest.write_text(json.dumps(report, indent=1, sort_keys=True) + "\n")
+    return report
+
+
 def _main(argv=None):
     """Retrain eval gate (round 4): measured twice this round, a warm
     retrain whose TRAIN loss looked fine shipped an eval REGRESSION
@@ -281,12 +316,23 @@ def _main(argv=None):
     import json
 
     p = argparse.ArgumentParser()
-    p.add_argument("model")
+    p.add_argument("model", nargs="?", default=None)
     p.add_argument("--family", default="ind", choices=["ind", "alt"])
     p.add_argument("--n-seeds", type=int, default=6)
     p.add_argument("--compare-npz", default=None,
                    help="pre-train snapshot; exit 1 if bundled < snapshot")
+    p.add_argument("--report", action="store_true",
+                   help="measure ALL bundled models on both families and "
+                        "write weights/QUALIFICATION.json (the serving "
+                        "path's auto-routability input)")
     args = p.parse_args(argv)
+
+    if args.report:
+        rep = write_qualification_report(n_seeds=args.n_seeds)
+        print(json.dumps(rep))
+        return 0
+    if args.model is None:
+        p.error("model is required unless --report is given")
 
     cur = bundled_gain(args.model, args.family, n_seeds=args.n_seeds)
     out = {"model": args.model, "family": args.family,
