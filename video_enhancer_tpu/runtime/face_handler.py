@@ -73,11 +73,13 @@ def _iou(a, b) -> float:
 
 class FaceRestorationExpert:
     def __init__(self, intensity: str = "balanced", seed: int = 0,
-                 weights_path=None):
+                 weights_path=None, gfpgan_ckpt=None,
+                 gfpgan_config: dict | None = None):
         self.intensity = intensity
         self.params = _face_net_init(jax.random.PRNGKey(seed))
         # Weight chain: explicit path -> bundled npz (train/faces.py,
         # procedural synthetic faces) -> random init.
+        import os
         import pathlib
 
         from .weights import try_load_params
@@ -92,6 +94,34 @@ class FaceRestorationExpert:
                     self.params = loaded
                     break
         self._restore = jax.jit(_face_net_apply)
+
+        # Optional REAL GFPGAN checkpoint (the reference's GFPGANer path,
+        # face_restoration_expert.py:342-355): a converted GFPGANv1Clean
+        # .pth/.npz (v1.4 config — models/official_gfpgan.py proves the
+        # conversion structurally) replaces the small bundled net when
+        # provided via arg or VETPU_GFPGAN_CKPT. Zero egress means no
+        # auto-download; drop the released file in and it serves.
+        self.gfpgan_params = None
+        cfg = dict(gfpgan_config or {})  # default = the v1.4 release config
+        self._gfpgan_size = int(cfg.pop("out_size", 512))
+        # different_w/sft_half shape BOTH the param tree (init) and the
+        # forward (apply); input_is_latent only the forward.
+        apply_kw = {"input_is_latent": cfg.pop("input_is_latent", True)}
+        for k in ("num_style_feat", "different_w", "sft_half"):
+            if k in cfg:
+                apply_kw[k] = cfg[k]
+        ckpt = gfpgan_ckpt or os.environ.get("VETPU_GFPGAN_CKPT")
+        if ckpt and pathlib.Path(ckpt).exists():
+            from ..models.official_gfpgan import (gfpgan_official_apply,
+                                                  gfpgan_official_init)
+
+            template = gfpgan_official_init(
+                jax.random.PRNGKey(0), out_size=self._gfpgan_size, **cfg)
+            loaded = try_load_params(ckpt, template)
+            if loaded is not None:
+                self.gfpgan_params = loaded
+                self._gfpgan = jax.jit(
+                    lambda p, x: gfpgan_official_apply(p, x, **apply_kw))
 
     # -- detection + scoring ------------------------------------------------
     def detect_faces(self, frame: np.ndarray) -> list[tuple[int, int, int, int]]:
@@ -132,10 +162,21 @@ class FaceRestorationExpert:
         crop = frame[y0:y1, x0:x1].astype(np.float32) / 255.0
         ch, cw = crop.shape[:2]
 
-        inp = np.asarray(resize(jnp.asarray(crop), (FACE_SIZE, FACE_SIZE),
-                                method="linear"))
-        restored = np.asarray(self._restore(self.params,
-                                            jnp.asarray(inp)[None])[0])
+        if self.gfpgan_params is not None:
+            # Real GFPGAN: [-1,1] at its native size (official GFPGANer
+            # preprocessing, reference face_restoration_expert.py:342-355).
+            s = self._gfpgan_size
+            inp = np.asarray(resize(jnp.asarray(crop), (s, s),
+                                    method="linear")) * 2.0 - 1.0
+            restored = np.asarray(
+                self._gfpgan(self.gfpgan_params, jnp.asarray(inp)[None])[0])
+            restored = np.clip(restored * 0.5 + 0.5, 0.0, 1.0)
+        else:
+            inp = np.asarray(resize(jnp.asarray(crop),
+                                    (FACE_SIZE, FACE_SIZE),
+                                    method="linear"))
+            restored = np.asarray(self._restore(self.params,
+                                                jnp.asarray(inp)[None])[0])
         restored = np.asarray(resize(jnp.asarray(restored), (ch, cw),
                                      method="linear"))
 
