@@ -366,22 +366,26 @@ def bench_e2e_sota():
                       size=(256, 256), model_bench=bench_seedvr2)
 
 
-# Ordered cheapest-compile-first so a late wedge still leaves a populated
-# artifact; the flagship cnn_upscaler stays LAST (tail-parse headline).
+# Order (round-5 verdict item 3): the six metrics that four rounds of
+# budget exhaustion never captured run FIRST after the probe; the round-4
+# captured set next; the two benches that timed out in round 4 (full
+# Real-ESRGAN and the big DiTVR preset — per-child compile dominates their
+# cost on a cold cache) go at the TAIL so they can no longer starve the
+# rest; the flagship cnn_upscaler stays LAST (tail-parse headline).
 BENCHES = [
+    ("vsrm", bench_vsrm),
+    ("fast_mamba_vsr", bench_fast_mamba_vsr),
+    ("fast_mamba_vsr_ssd", bench_fast_mamba_vsr_ssd),
+    ("realesrgan_fast", bench_realesrgan_fast),
+    ("e2e_cnn", bench_e2e_cnn),
+    ("e2e_sota", bench_e2e_sota),
     ("flash_attention", bench_flash_attention),
     ("rife", bench_rife),
     ("seedvr2", bench_seedvr2),
     ("ditvr", bench_ditvr),
-    ("ditvr_base", bench_ditvr_base),
     ("rvrt", bench_rvrt),
     ("realesrgan", bench_realesrgan),
-    ("realesrgan_fast", bench_realesrgan_fast),
-    ("vsrm", bench_vsrm),
-    ("fast_mamba_vsr", bench_fast_mamba_vsr),
-    ("fast_mamba_vsr_ssd", bench_fast_mamba_vsr_ssd),
-    ("e2e_cnn", bench_e2e_cnn),
-    ("e2e_sota", bench_e2e_sota),
+    ("ditvr_base", bench_ditvr_base),
     ("cnn_upscaler", bench_cnn),  # flagship LAST (tail-parse headline)
 ]
 
@@ -466,7 +470,7 @@ def main():
                    help="per-bench subprocess watchdog cap, seconds")
     p.add_argument("--budget", type=int,
                    default=int(os.environ.get("VETPU_BENCH_BUDGET_S",
-                                              "1500")),
+                                              "1800")),
                    help="global wall budget for the whole zoo, seconds")
     args = p.parse_args()
 

@@ -172,12 +172,27 @@ def test_rife_interpolation_midpoint_and_video():
 
 
 def test_registry_builds_all_models():
+    from video_enhancer_tpu.config import default_policy
+    from video_enhancer_tpu.runtime.qualification import disqualified_models
     from video_enhancer_tpu.runtime.registry import probe_available
 
     avail = probe_available()
-    assert {"fast_mamba_vsr", "fast_mamba_vsr_ssd", "vsrm", "seedvr2",
-            "ditvr", "rvrt", "realesrgan", "realesrgan_fast",
-            "cnn_upscaler", "bicubic"} <= avail
+    # Auto-routable = policy-enabled minus measured-negative
+    # (QUALIFICATION.json). fast_mamba_vsr_ssd is policy-disabled (retired
+    # round 5: slower than the ssm scan at serving shapes AND no quality
+    # gate); seedvr2 drops out whenever its measured ind gain is <= 0.
+    from video_enhancer_tpu.runtime.registry import _MODEL_MODULES
+
+    enabled = (set(default_policy().enabled_models())
+               & set(_MODEL_MODULES))  # rife routes via its own handler
+    assert avail == enabled - disqualified_models()
+    assert {"fast_mamba_vsr", "vsrm", "ditvr", "rvrt", "realesrgan",
+            "realesrgan_fast", "cnn_upscaler", "bicubic"} <= avail
+    # Raw availability (explicit-request path) ignores qualification but
+    # not the policy: the retired fmv_ssd preset stays out either way.
+    raw = probe_available(include_disqualified=True)
+    assert "fast_mamba_vsr_ssd" not in raw  # policy-disabled, not demoted
+    assert raw == enabled
 
 
 def test_registry_ssd_preset_serving():
