@@ -87,3 +87,58 @@ def test_site_attention_matches_reference():
     ref = attention_ref(mh(q), mh(k), mh(v))
     ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(n, t, c))
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-5
+
+
+def test_window_attention_matches_reference():
+    """Fused windowed-attention kernel (interpret mode on CPU) == the
+    reference formula, bias included (the rvrt swin shape, scaled down)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops.attention import (attention_ref,
+                                                  window_attention)
+
+    nw, h, n, d = 10, 2, 32, 16  # nw*h=20, group clamps to a multiple of h
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (nw, h, n, d), jnp.float32)
+    k = jax.random.normal(ks[1], (nw, h, n, d), jnp.float32)
+    v = jax.random.normal(ks[2], (nw, h, n, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, n, n), jnp.float32)
+
+    out = window_attention(q, k, v, bias, group=4, interpret=True)
+    ref = attention_ref(q, k, v, bias=bias[None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # Padding path: nw*h=20 not a multiple of group=8.
+    out8 = window_attention(q, k, v, bias, group=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_window_attention_diffable_grads():
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops.attention import (attention_ref,
+                                                  window_attention_diffable)
+
+    nw, h, n, d = 4, 2, 16, 8
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (nw, h, n, d), jnp.float32)
+    k = jax.random.normal(ks[1], (nw, h, n, d), jnp.float32)
+    v = jax.random.normal(ks[2], (nw, h, n, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, n, n), jnp.float32) * 0.1
+    scale = d ** -0.5
+
+    def loss_kernel(qq, kk, vv, bb):
+        return jnp.sum(window_attention_diffable(qq, kk, vv, bb, scale) ** 2)
+
+    def loss_ref(qq, kk, vv, bb):
+        return jnp.sum(attention_ref(qq, kk, vv, bias=bb[None],
+                                     scale=scale) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)

@@ -110,8 +110,19 @@ def _swin_block(blk, x, heads, window, shift, relpos_idx):
         return z.reshape(nW, N, heads, c // heads).transpose(0, 2, 1, 3)
 
     bias = blk["bias_table"][relpos_idx]          # (N, N, heads)
-    bias = bias.transpose(2, 0, 1)[None]          # (1, heads, N, N)
-    a = attention_ref(mh(q), mh(k), mh(v), bias=bias)
+    bias = bias.transpose(2, 0, 1)                # (heads, N, N)
+    if jax.default_backend() == "tpu":
+        # Fused windowed-attention kernel: the XLA path materializes the
+        # fp32 (nW, heads, N, N) logits through softmax in HBM (~966 MB a
+        # forward at 8x180p — the measured bulk of rvrt's runtime,
+        # scripts/profile_ablate.py round-5 log); the kernel keeps each
+        # window group's scores in VMEM.
+        from ..ops.attention import window_attention_diffable
+
+        a = window_attention_diffable(mh(q), mh(k), mh(v), bias,
+                                      1.0 / (c // heads) ** 0.5)
+    else:
+        a = attention_ref(mh(q), mh(k), mh(v), bias=bias[None])
     a = a.transpose(0, 2, 1, 3).reshape(nW, N, c)
     x = nn.dense_apply(blk["proj"], a)
     x = _window_reverse(x, window, (b, t, h, w, c))

@@ -25,7 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.flops import record as flop_record
 
-__all__ = ["attention", "attention_ref", "flash_attention", "site_attention"]
+__all__ = ["attention", "attention_ref", "flash_attention",
+           "site_attention", "window_attention",
+           "window_attention_diffable"]
 
 
 def attention_ref(q, k, v, bias=None, scale: float | None = None):
@@ -188,6 +190,117 @@ def attention(q, k, v, bias=None, scale: float | None = None):
             scale = q.shape[-1] ** -0.5
         return _flash_diffable(q, k, v, float(scale))
     return attention_ref(q, k, v, bias=bias, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Windowed (short-sequence, biased) attention kernel
+# ---------------------------------------------------------------------------
+
+
+def _window_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, heads):
+    q = q_ref[...].astype(jnp.float32)        # (G, N, D)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale        # (G, N, N)
+    g, n, _ = s.shape
+    bias = b_ref[...].astype(jnp.float32)     # (heads, N, N)
+    s = (s.reshape(g // heads, heads, n, n) + bias[None]).reshape(g, n, n)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "group", "interpret"))
+def _window_impl(q, k, v, bias, heads, scale, group, interpret):
+    nw, h, n, d = q.shape
+    bh = nw * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    pad = (-bh) % group
+    if pad:
+        qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
+        kf = jnp.pad(kf, ((0, pad), (0, 0), (0, 0)))
+        vf = jnp.pad(vf, ((0, pad), (0, 0), (0, 0)))
+    kernel = functools.partial(_window_kernel, scale=scale, heads=heads)
+    out = pl.pallas_call(
+        kernel,
+        grid=((bh + pad) // group,),
+        in_specs=[
+            pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh + pad, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, bias)
+    return out[:bh].reshape(nw, h, n, d)
+
+
+def window_attention(q, k, v, bias, scale: float | None = None,
+                     group: int = 16, interpret: bool | None = None):
+    """Batched short-sequence MHA with a shared per-head additive bias —
+    the shifted-window attention shape (models/rvrt.py: thousands of
+    128-token windows, dh 16, relative-position bias per head).
+
+    ``q/k/v (nW, heads, N, Dh)``, ``bias (heads, N, N)`` shared across
+    windows. Unlike ``flash_attention`` (one long sequence per grid row,
+    online softmax) this kernel fuses a GROUP of whole windows per grid
+    step: N is small, so each window's logits live entirely in VMEM and
+    the fp32 (N, N) score tensor never round-trips HBM — which is where
+    the XLA path spends its time (rvrt: ~966 MB of logits through softmax
+    per forward, scripts/profile_ablate.py round-5 log). Grouping windows
+    amortizes grid overhead; ``group`` must be a multiple of ``heads`` so
+    each block's head pattern tiles the bias.
+    """
+    nw, h, n, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    group = max(h, (group // h) * h)
+    flop_record(4.0 * nw * h * n * n * d)
+    return _window_impl(q, k, v, bias, h, float(scale), group, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def window_attention_diffable(q, k, v, bias, scale):
+    """window_attention with a reference-formula backward (the kernel
+    defines no JVP; rvrt trains through this — bias included, the
+    relative-position table is a learned parameter)."""
+    return window_attention(q, k, v, bias, scale=scale)
+
+
+def _window_fwd(q, k, v, bias, scale):
+    return window_attention_diffable(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _window_bwd(scale, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: attention_ref(qq, kk, vv, bias=bb[None],
+                                             scale=scale),
+        q, k, v, bias)
+    return vjp(g)
+
+
+window_attention_diffable.defvjp(_window_fwd, _window_bwd)
 
 
 def site_attention_ref(q, k, v, heads: int):
