@@ -94,6 +94,33 @@ def build_model(name: str, scale: int, dim: int | None = None,
     raise SystemExit(f"unsupported trainable model: {name}")
 
 
+def _prefetch(it, depth: int = 2):
+    """Run the host-side batch generator in a daemon thread so degradation
+    synthesis (cv2 blurs/JPEG round-trips in train/data._degrade — ~1 s a
+    batch on this 1-core host after the round-5 widening) overlaps the
+    device step instead of serializing with it. Measured round 5: seedvr2
+    went 1.0 -> 2.1 s/step when the widened bank landed; the device step
+    itself is ~1 s."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # surface generator failures to the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cnn_upscaler",
@@ -192,6 +219,7 @@ def main(argv=None):
     else:
         it = pair_iterator(frames, args.batch, args.clip_len, args.crop,
                            args.scale)
+    it = _prefetch(it, depth=2)
     with mesh:
         state = init_state(params)
         if args.ckpt_dir:
