@@ -230,3 +230,60 @@ def _run_ifnet_case(jax):
     theirs = theirs.numpy().transpose(0, 2, 3, 1)
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-2)
+
+
+def test_realesrgan_handler_serves_official_checkpoint(tmp_path,
+                                                       monkeypatch):
+    """The registry serves a converted official RRDBNet checkpoint when
+    VETPU_REALESRGAN_CKPT is set (reference realesrgan_handler.py:102-180
+    weight chain) — proven with a tiny config monkeypatched in."""
+    import jax
+    import numpy as np
+
+    from video_enhancer_tpu.models.official_arch import rrdb_official_init
+    from video_enhancer_tpu.runtime import registry
+    from video_enhancer_tpu.runtime.weights import save_params
+
+    tiny = {"features": 16, "num_blocks": 2, "growth": 8}
+    monkeypatch.setattr(registry, "_OFFICIAL_RRDB_CFG", tiny)
+    params = rrdb_official_init(jax.random.PRNGKey(2), **tiny)
+    ckpt = tmp_path / "realesrgan_official.npz"
+    save_params(ckpt, params)
+    monkeypatch.setenv("VETPU_REALESRGAN_CKPT", str(ckpt))
+    registry.clear_cache()
+    try:
+        h = registry.build_handler("realesrgan")
+        # The handler's tree is the OFFICIAL layout, not the internal one.
+        assert "conv_first" in h.params and "body" in h.params
+        clip = np.random.default_rng(0).random((1, 2, 16, 16, 3),
+                                               np.float32)
+        import jax.numpy as jnp
+
+        out = np.asarray(h._fwd(h.params, jnp.asarray(clip), h.context))
+        assert out.shape == (1, 2, 64, 64, 3)
+    finally:
+        registry.clear_cache()
+
+
+def test_rife_handler_serves_official_checkpoint(tmp_path):
+    """RIFEHandler serves a converted official IFNet checkpoint when
+    provided (reference enhanced_rife_handler.py:61-111 runtime-clone
+    chain, minus the egress)."""
+    import jax
+    import numpy as np
+
+    from video_enhancer_tpu.models.official_arch import ifnet_official_init
+    from video_enhancer_tpu.runtime.rife_handler import RIFEHandler
+    from video_enhancer_tpu.runtime.weights import save_params
+
+    params = ifnet_official_init(jax.random.PRNGKey(5), c=16)
+    ckpt = tmp_path / "flownet.npz"
+    save_params(ckpt, params)
+    h = RIFEHandler(official_ckpt=str(ckpt), official_c=16)
+    assert h.meta.get("official") is True
+    f0 = np.random.default_rng(1).random((32, 32, 3), np.float32)
+    f1 = np.random.default_rng(2).random((32, 32, 3), np.float32)
+    mid = h.interpolate_pair(f0, f1)
+    assert mid.shape == (32, 32, 3)
+    # Without a checkpoint the internal graph serves as before.
+    assert RIFEHandler().meta.get("official") is None

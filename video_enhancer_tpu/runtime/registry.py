@@ -27,6 +27,10 @@ def available_models(policy: Policy | None = None) -> list[str]:
     return policy.enabled_models()
 
 
+# The released RealESRGAN_x4plus.pth graph shape (tests monkeypatch this
+# to a tiny config to exercise the official serve path cheaply).
+_OFFICIAL_RRDB_CFG = {"features": 64, "num_blocks": 23, "growth": 32}
+
 _MODEL_MODULES = {
     "fast_mamba_vsr": "fast_mamba_vsr",
     "fast_mamba_vsr_ssd": "fast_mamba_vsr",
@@ -267,7 +271,39 @@ def _build(name: str, policy: Policy, seed: int):
         )
 
     if name in ("realesrgan", "realesrgan_fast"):
+        import os
+
         from ..models import realesrgan as m
+
+        # Official released checkpoint at serve time (the reference's
+        # RealESRGAN_x4plus.pth chain, realesrgan_handler.py:102-180):
+        # VETPU_REALESRGAN_CKPT loads through the structurally-proven
+        # conversion (models/official_arch.py + test_official_checkpoints)
+        # into the published RRDBNet graph. Zero egress = no auto-download;
+        # drop the file in and it serves.
+        ckpt = os.environ.get("VETPU_REALESRGAN_CKPT")
+        if name == "realesrgan" and ckpt:
+            import jax as _jax
+
+            from ..models.official_arch import (rrdb_official_apply,
+                                                rrdb_official_init)
+            from .weights import try_load_params
+
+            template = rrdb_official_init(_jax.random.PRNGKey(0),
+                                          **_OFFICIAL_RRDB_CFG)
+            official = try_load_params(ckpt, template)
+            if official is not None:
+                def clip_apply_official(p, clip):
+                    b, t = clip.shape[0], clip.shape[1]
+                    frames = clip.reshape((b * t,) + clip.shape[2:])
+                    out = rrdb_official_apply(p, frames)
+                    return out.reshape((b, t) + out.shape[1:])
+
+                return VSRHandler(
+                    name, clip_apply_official, official, scale=4,
+                    chunk=4, overlap=0, tile=entry.tile,
+                    tile_overlap=entry.tile_overlap, mesh=mesh,
+                )
 
         cfg = dict(entry.extra) if entry else {}
         params, _ = _load_or_init(

@@ -23,30 +23,53 @@ __all__ = ["RIFEHandler"]
 
 class RIFEHandler:
     def __init__(self, dim: int = 32, levels: int = 3, seed: int = 0,
-                 compute_dtype=jnp.bfloat16, weights_path=None):
-        self.params, self.meta = rife.init(jax.random.PRNGKey(seed), dim=dim,
-                                           levels=levels)
-        # Weight chain: explicit path -> bundled npz -> random init.
+                 compute_dtype=jnp.bfloat16, weights_path=None,
+                 official_ckpt=None, official_c: int = 90):
+        import os
         import pathlib
 
         from .weights import try_load_params
 
-        candidates = [weights_path] if weights_path else []
-        candidates.append(pathlib.Path(__file__).resolve().parents[1]
-                          / "weights" / "rife.npz")
-        for cand in candidates:
-            if cand and pathlib.Path(cand).exists():
-                loaded = try_load_params(cand, self.params)
-                if loaded is not None:
-                    self.params = loaded
-                    self.meta = dict(self.meta, weights=str(cand))
-                    break
+        # Official released checkpoint (the reference clones and loads
+        # hzwer's flownet.pkl, enhanced_rife_handler.py:61-111): an
+        # IFNet_HDv3 .pth/.pkl converts through the structurally-proven
+        # path (models/official_arch.py ifnet_official_*) and serves the
+        # published graph; zero egress = the file must be provided
+        # (arg or VETPU_RIFE_CKPT).
+        interp_fn = rife.interpolate_pair
+        self.params = None
+        ckpt = official_ckpt or os.environ.get("VETPU_RIFE_CKPT")
+        if ckpt and pathlib.Path(ckpt).exists():
+            from ..models.official_arch import (ifnet_official_apply,
+                                                ifnet_official_init)
+
+            template = ifnet_official_init(jax.random.PRNGKey(0),
+                                           c=official_c)
+            loaded = try_load_params(ckpt, template)
+            if loaded is not None:
+                self.params = loaded
+                self.meta = {"official": True, "weights": str(ckpt)}
+                interp_fn = ifnet_official_apply
+        if self.params is None:
+            self.params, self.meta = rife.init(jax.random.PRNGKey(seed),
+                                               dim=dim, levels=levels)
+            # Weight chain: explicit path -> bundled npz -> random init.
+            candidates = [weights_path] if weights_path else []
+            candidates.append(pathlib.Path(__file__).resolve().parents[1]
+                              / "weights" / "rife.npz")
+            for cand in candidates:
+                if cand and pathlib.Path(cand).exists():
+                    loaded = try_load_params(cand, self.params)
+                    if loaded is not None:
+                        self.params = loaded
+                        self.meta = dict(self.meta, weights=str(cand))
+                        break
         self.params = jax.tree.map(
             lambda a: a.astype(compute_dtype), self.params
         )
         self.compute_dtype = compute_dtype
         self._mid = jax.jit(
-            lambda p, a, b: rife.interpolate_pair(
+            lambda p, a, b: interp_fn(
                 p, a.astype(compute_dtype), b.astype(compute_dtype)
             ).astype(jnp.float32)
         )
