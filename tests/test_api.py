@@ -248,3 +248,18 @@ def test_job_evaluate(api, demo_bytes):
     # metrics persisted on the job record
     _, job = _get(api + f"/api/v1/job/{job_id}")
     assert "evaluation" in job
+
+
+def test_strategies_auto_routable_flag(api):
+    """Disqualified models stay listed (explicitly requestable) but are
+    marked auto_routable=false with their measured gain attached."""
+    status, body = _get(api + "/api/v1/strategies")
+    assert status == 200
+    by_name = {s["name"]: s for s in body["strategies"]}
+    from video_enhancer_tpu.runtime.qualification import disqualified_models
+
+    for name in disqualified_models():
+        if name in by_name:
+            assert by_name[name]["auto_routable"] is False
+            assert by_name[name]["measured_gain_db"] <= 0
+    assert by_name["vsrm"]["auto_routable"] is True

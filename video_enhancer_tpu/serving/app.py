@@ -385,12 +385,22 @@ def create_app(server: ApiServer | None = None, **kw) -> Router:
 
     @r.get("/api/v1/strategies")
     def strategies(req):
-        avail = sorted(probe_available(srv.policy))
+        from ..runtime.qualification import load_report
+
+        # List every explicitly-requestable model; auto_routable reflects
+        # the measured-quality demotion (runtime/qualification.py) so
+        # clients can see WHY a model never appears in auto plans.
+        avail = sorted(probe_available(srv.policy,
+                                       include_disqualified=True))
+        auto = probe_available(srv.policy)
+        report = load_report()
         return Response({
             "strategies": [
                 {
                     "name": name,
                     "enabled": True,
+                    "auto_routable": name in auto,
+                    "measured_gain_db": (report.get(name) or {}).get("ind"),
                     "scale": srv.policy.models[name].scale
                     if name in srv.policy.models else 2,
                     "estimated_sec_per_video_minute":
