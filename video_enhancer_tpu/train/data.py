@@ -85,6 +85,9 @@ def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator,
         blur_kind = int(rng.choice(3, p=[0.2, 0.4, 0.4]))
         ksize = int(rng.choice([5, 7, 9]))
         sigma = rng.uniform(0.2, 3.0)
+        mkernel = _rand_motion_kernel(rng, ksize) if blur_kind == 2 else None
+        interp = [cv2.INTER_AREA, cv2.INTER_LINEAR,
+                  cv2.INTER_CUBIC][int(rng.integers(0, 3))]
         noise_kind = int(rng.choice(3, p=[0.2, 0.4, 0.4]))
         noise_std = rng.uniform(0.005, 0.06)
         quantize = rng.random() < 0.45
@@ -92,18 +95,24 @@ def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator,
         comp_kind = int(rng.choice(3, p=[0.2, 0.4, 0.4]))
         jpeg_q = int(rng.integers(30, 90))
     else:
+        # NOTE: this branch preserves the round-4 RNG draw ORDER exactly
+        # (blur -> mkernel -> interp -> noise -> quant -> compression):
+        # the held-out eval realizations are a function of draw order, so
+        # reordering would silently re-draw every historical gain number
+        # (caught round 5: a reorder made the seedvr2 snapshot re-measure
+        # -1.33 where round 4 recorded -2.73 on the same weights).
         blur_kind = int(rng.integers(0, 3))  # none / gaussian / motion
         ksize = 5
         sigma = rng.uniform(0.2, 2.0)
+        mkernel = _rand_motion_kernel(rng) if blur_kind == 2 else None
+        interp = [cv2.INTER_AREA, cv2.INTER_LINEAR,
+                  cv2.INTER_CUBIC][int(rng.integers(0, 3))]
         noise_kind = int(rng.integers(0, 3))  # none / gaussian / uniform
         noise_std = rng.uniform(0.005, 0.04)
         quantize = rng.random() < 0.3
         qbits_lo = 5
         comp_kind = int(rng.integers(0, 3))  # none / resize smear / jpeg
         jpeg_q = int(rng.integers(40, 90))
-    mkernel = _rand_motion_kernel(rng, ksize) if blur_kind == 2 else None
-    interp = [cv2.INTER_AREA, cv2.INTER_LINEAR,
-              cv2.INTER_CUBIC][int(rng.integers(0, 3))]
 
     for i in range(t):
         f = _rand_blur(hr[i], blur_kind, sigma, mkernel, ksize)
