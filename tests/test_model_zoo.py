@@ -281,3 +281,27 @@ def test_fmv_ssd_temporal_mixer_preset():
     assert all(bool(jnp.all(jnp.isfinite(a))) for a in leaves)
     # Exact T-sharding of the ssd preset is covered on the 8-device mesh
     # by test_temporal_parallel.py::test_exact_sharded_fmv_ssd_mixer.
+
+
+def test_seedvr2_quality_mlp_receives_gradient():
+    """Round-5 regression guard: the quality-conditioned timestep shift
+    must be TRAINABLE. The round-4 form cast t to int32 and indexed the
+    abar table with it — measured grad w.r.t. the quality MLP was exactly
+    0.0, i.e. the 'learnable passthrough' mechanism never trained. The
+    continuous interpolated-abar path restores the gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.models import seedvr2
+
+    params, _ = seedvr2.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 16, 16, 3),
+                           jnp.float32)
+
+    def loss(p):
+        return jnp.mean((seedvr2.apply(p, x) - x) ** 2)
+
+    g = jax.grad(loss)(params)
+    qnorm = sum(float(jnp.sum(jnp.abs(v)))
+                for v in jax.tree.leaves(g["quality"]))
+    assert qnorm > 1e-6, "quality MLP gradient is dead again"

@@ -168,12 +168,23 @@ def apply(params, clip: jnp.ndarray, seed: int = 0,
     # this clip" (noise -> 0, x0 -> x): passthrough becomes learnable
     # instead of architecturally excluded. Shape-preserving: same params,
     # warm-start-compatible with earlier checkpoints.
+    #
+    # Round-5 fix: the round-4 form cast t to int32 and indexed the abar
+    # table with it, which is gradient-dead — measured grad w.r.t. the
+    # quality MLP was EXACTLY 0.0, i.e. the "learnable passthrough" never
+    # trained and the shift stayed at its random init. The timestep is
+    # now continuous: abar linearly interpolated between table entries
+    # (differentiable through the fractional weight) and the sinusoidal
+    # embedding takes the float t directly.
     t_shift = 495.0 * jnp.tanh(
         nn.mlp_apply(params["quality"], stats)[..., 0].astype(jnp.float32)
     )
-    t = jnp.clip(FIXED_T + t_shift, 1, sched.num_train_timesteps - 1).astype(
-        jnp.int32
-    )
+    tmax = float(sched.num_train_timesteps - 1)
+    tf = jnp.clip(FIXED_T + t_shift, 1.0, tmax - 1e-3)
+    t0 = jnp.floor(tf).astype(jnp.int32)
+    frac = tf - t0.astype(jnp.float32)
+    abar = sched.alphas_cumprod.astype(jnp.float32)
+    ab = abar[t0] * (1.0 - frac) + abar[t0 + 1] * frac  # (B,) differentiable
 
     if num_steps > 1:
         if time_axis is not None:
@@ -186,11 +197,16 @@ def apply(params, clip: jnp.ndarray, seed: int = 0,
                          start_t=FIXED_T, seed=seed)
     else:
         noise = _noise_like(x, seed, time_axis)
-        noisy = sched.add_noise(x, noise, t)
+        sqrt_ab = jnp.sqrt(ab)[:, None, None, None, None]
+        sqrt_1mab = jnp.sqrt(1.0 - ab)[:, None, None, None, None]
+        noisy = (sqrt_ab.astype(x.dtype) * x
+                 + sqrt_1mab.astype(x.dtype) * noise)
 
         model_in = jnp.concatenate([x, noisy], axis=-1)  # (B,T,H,W,6)
-        eps = unet_apply(params["unet"], model_in, t, time_axis=time_axis)
-        x0 = sched.pred_x0(noisy, eps.astype(jnp.float32), t)
+        eps = unet_apply(params["unet"], model_in, tf, time_axis=time_axis)
+        # epsilon-form x0 with the same interpolated abar (fp32).
+        x0 = (noisy.astype(jnp.float32)
+              - sqrt_1mab * eps.astype(jnp.float32)) / sqrt_ab
 
     restored = (x0 + 1.0) / 2.0
     restored = _tc_apply(params["tc"], restored.astype(clip.dtype), heads,
