@@ -109,9 +109,12 @@ def _swin_block(blk, x, heads, window, shift, relpos_idx):
     def mh(z):
         return z.reshape(nW, N, heads, c // heads).transpose(0, 2, 1, 3)
 
+    import os
+
     bias = blk["bias_table"][relpos_idx]          # (N, N, heads)
     bias = bias.transpose(2, 0, 1)                # (heads, N, N)
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("VETPU_RVRT_ATTN", "kernel") != "ref"):
         # Fused windowed-attention kernel: the XLA path materializes the
         # fp32 (nW, heads, N, N) logits through softmax in HBM (~966 MB a
         # forward at 8x180p — the measured bulk of rvrt's runtime,
