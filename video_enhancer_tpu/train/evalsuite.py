@@ -315,6 +315,14 @@ def _main(argv=None):
     import argparse
     import json
 
+    # Honor VETPU_PLATFORM (the retrain scripts set cpu so gated evals
+    # never claim — or wait on — the TPU; without this call the preset
+    # axon backend wins and every eval pays ~2 s tunnel roundtrips AND
+    # serializes with training).
+    from ..utils.jaxenv import setup
+
+    setup()
+
     p = argparse.ArgumentParser()
     p.add_argument("model", nargs="?", default=None)
     p.add_argument("--family", default="ind", choices=["ind", "alt"])
