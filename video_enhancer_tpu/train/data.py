@@ -142,6 +142,65 @@ def _degrade(hr: np.ndarray, scale: int, rng: np.random.Generator,
     return np.clip(lr, 0.0, 1.0)
 
 
+def _disk_kernel(rng: np.random.Generator) -> np.ndarray:
+    """Defocus (disk) blur kernel — a blur family distinct from both the
+    training Gaussian/linear-motion kernels and evalgen's motion blur."""
+    r = float(rng.uniform(1.0, 3.0))
+    k = int(2 * np.ceil(r) + 1)
+    yy, xx = np.mgrid[0:k, 0:k].astype(np.float32)
+    c = (k - 1) / 2.0
+    disk = ((yy - c) ** 2 + (xx - c) ** 2 <= r * r).astype(np.float32)
+    return disk / disk.sum()
+
+
+def _degrade_chain(hr: np.ndarray, scale: int, rng: np.random.Generator
+                   ) -> np.ndarray:
+    """Third training degradation family (round 5): an ALWAYS-COMPOUND
+    fixed-structure chain, like real capture chains — defocus/anisotropic
+    blur -> aliasing-prone resample (nearest/Lanczos) -> value-dependent
+    shot noise -> WebP round-trip. Every op is a different process from
+    both the randomized `_degrade` families and evalgen's held-out chain
+    (motion blur -> bilinear -> 5-bit quant -> JPEG). Round-5 measured
+    motivation: raw severity widening (wide=True alone) made BOTH eval
+    families worse on vsrm (ind 0.85->0.72, alt -0.27->-0.60) — what the
+    models lack is exposure to compound chain STRUCTURE, not harder
+    single ops."""
+    import cv2
+
+    t, h, w, _ = hr.shape
+    lh, lw = h // scale, w // scale
+    if rng.random() < 0.5:
+        kern = _disk_kernel(rng)
+    else:
+        # Rotated anisotropic Gaussian.
+        sx, sy = rng.uniform(0.4, 2.5, 2)
+        theta = rng.uniform(0, np.pi)
+        k = 7
+        yy, xx = np.mgrid[0:k, 0:k].astype(np.float32) - (k - 1) / 2.0
+        xr = xx * np.cos(theta) + yy * np.sin(theta)
+        yr = -xx * np.sin(theta) + yy * np.cos(theta)
+        kern = np.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
+        kern /= kern.sum()
+    interp = cv2.INTER_NEAREST if rng.random() < 0.5 else cv2.INTER_LANCZOS4
+    shot = rng.uniform(200.0, 1200.0)  # photons at full scale
+    webp_q = int(rng.integers(20, 75))
+
+    lr = np.empty((t, lh, lw, 3), np.float32)
+    for i in range(t):
+        f = cv2.filter2D(hr[i], -1, kern)
+        f = cv2.resize(f, (lw, lh), interpolation=interp)
+        f = rng.poisson(np.clip(f, 0, 1) * shot).astype(np.float32) / shot
+        u8 = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+        ok, enc = cv2.imencode(".webp", u8,
+                               [cv2.IMWRITE_WEBP_QUALITY, webp_q])
+        if ok:
+            dec = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+            if dec is not None:
+                u8 = dec
+        lr[i] = u8.astype(np.float32) / 255.0
+    return np.clip(lr, 0.0, 1.0)
+
+
 def _spectral_texture(rng: np.random.Generator, h: int, w: int,
                       slope: float) -> np.ndarray:
     """Power-law-filtered Gaussian noise field in [0, 1] (FFT-shaped —
@@ -396,7 +455,8 @@ def _make_flow_clip(rng: np.random.Generator, frames: int, h: int,
 
 def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
                crop: int, scale: int, seed: int = 0,
-               compound_p: float = 0.0, wide: bool = False) -> dict:
+               compound_p: float = 0.0, wide: bool = False,
+               chain_p: float = 0.0, wide_p: float = 0.0) -> dict:
     """Sample a batch of (lr, hr) clip pairs from source frames.
 
     frames: (N, H, W, 3) uint8 or float. Returns numpy dict
@@ -423,24 +483,40 @@ def make_pairs(frames: np.ndarray, batch: int, clip_len: int,
         x = rng.integers(0, max(W - crop, 1))
         clip_hr = frames[t0:t0 + clip_len, y:y + crop, x:x + crop]
         hr[b] = clip_hr
-        lr[b] = _degrade(clip_hr, scale, rng, wide=wide)
+        # Per-clip pipeline mixture (training-only knobs; the eval keeps
+        # the defaults = pure non-wide _degrade):
+        #   chain_p  -> the always-compound third family (_degrade_chain)
+        #   wide_p   -> the wide-severity randomized tier
+        #   else     -> the canonical randomized chain (the ind family)
+        # No mixture draw on the default path: the eval realizations are
+        # pinned to the canonical RNG stream (see
+        # test_eval_degradation_realizations_pinned).
+        draw = rng.random() if (chain_p or wide_p) else 1.0
+        if draw < chain_p:
+            lr[b] = _degrade_chain(clip_hr, scale, rng)
+        elif draw < chain_p + wide_p or wide:
+            lr[b] = _degrade(clip_hr, scale, rng, wide=True)
+        else:
+            lr[b] = _degrade(clip_hr, scale, rng)
         if compound_p and rng.random() < compound_p:
-            lr[b] = _degrade(lr[b], 1, rng, wide=wide)
+            lr[b] = _degrade(lr[b], 1, rng)
     return {"lr": lr, "hr": hr}
 
 
 def pair_iterator(frames: np.ndarray, batch: int, clip_len: int, crop: int,
-                  scale: int, seed: int = 0, compound_p: float = 0.35,
-                  wide: bool = True):
-    """Infinite iterator of training batches (compound-chain augmentation
-    AND the widened-severity degradation bank on by default — see
-    make_pairs/_degrade; both are training-only knobs, the eval keeps
-    make_pairs defaults)."""
+                  scale: int, seed: int = 0, compound_p: float = 0.25,
+                  chain_p: float = 0.3, wide_p: float = 0.2):
+    """Infinite iterator of training batches. The round-5 mixture: 50%
+    canonical draws (anchors the in-distribution eval — an all-wide bank
+    measurably hurt BOTH eval families, see _degrade_chain docstring),
+    30% always-compound chain family, 20% wide-severity tier, plus an
+    independent 25% second-pass stack. All training-only; make_pairs
+    defaults (the eval path) are untouched."""
     step = 0
     while True:
         yield make_pairs(frames, batch, clip_len, crop, scale,
                          seed=seed + step, compound_p=compound_p,
-                         wide=wide)
+                         chain_p=chain_p, wide_p=wide_p)
         step += 1
 
 
