@@ -30,31 +30,32 @@ N_SEEDS = 6
 GATES = {
     "vsrm": (0.8, None),
     "fast_mamba_vsr": (0.5, None),
-    # fast_mamba_vsr_ssd: latency preset (MXU-form recurrence). Trained
-    # fresh for only 2000 steps this round: measured +0.04 dB ind AND alt
-    # (positive on both families, far from the ssm variant's +0.53 —
-    # the SSD tree needs the same multi-round schedule the others got).
-    # No quality gate yet; the test still asserts load-and-run.
-    "fast_mamba_vsr_ssd": (None, None),
+    # fast_mamba_vsr_ssd: RETIRED from routing in round 5 (interleaved A/B
+    # measured the ssd mixer 1.5-1.7x SLOWER than the ssm scan at serving
+    # shapes, BENCH_RESULTS.md round-5 log) but the weights stay bundled
+    # for explicit requests; measured +0.039 ind / +0.038 alt — the zoo's
+    # first model positive on BOTH families — gated at ~half that so a
+    # silent export regression still fails CI.
+    "fast_mamba_vsr_ssd": (0.02, 0.02),
     "rvrt": (0.5, None),
     "realesrgan": (0.8, None),
     "realesrgan_fast": (0.5, None),
-    # cnn_upscaler: the round-4 warm retrain measured a REGRESSION
-    # (+0.087 -> +0.071) and was reverted to the round-3 export, so the
-    # shipped weights measure +0.087 on the widened round-4 eval; gate =
-    # ~70% of that measured mean (the old 0.1 gate was set against the
-    # round-3 eval the weights were trained on).
+    # cnn_upscaler: the round-5 chunk trained ON the calibrated mixture
+    # (chain_p=0.3/wide_p=0.2) was the schedule's only dual-family
+    # improvement: +0.088 -> +0.100 ind AND -0.196 -> -0.129 alt. Gate
+    # stays at ~70% of the round-4 mean the weights were gated against.
     "cnn_upscaler": (0.06, None),
     "ditvr": (0.8, None),
-    # seedvr2: the round-4 widened degradation bank inverted this eval —
-    # the round-3 weights (+3.56 dB on the round-3 eval) measure -3.60 on
-    # it, i.e. the widened restoration task is far outside what they saw.
-    # A 1680-step warm retrain ON the widened distribution improved the
-    # measured mean to -2.73 (gated ship: better than snapshot, train
-    # loss 0.0238->0.0165 still descending) but positive gain needs the
-    # same multi-round schedule the other nets got. Gate None until then;
-    # the test still asserts load-and-run.
-    "seedvr2": (None, None),
+    # seedvr2: POSITIVE for the first time on the widened eval. Two
+    # levers this round: (a) the retrain schedule moved the raw model
+    # -2.73 -> -1.53 ind (post gradient-fix chunks); (b) the calibrated
+    # output strength (models/seedvr2.py DEFAULT_STRENGTH=0.2, swept in
+    # scripts/seedvr2_blend_sweep.py) flips the measured sign without
+    # retraining: +0.451 ind / -0.084 alt (6 seeds). Ind gate ~70% of
+    # the mean; alt gets a floor so a regression past "negligibly
+    # negative" fails CI. Requalified -> auto-routable again
+    # (weights/QUALIFICATION.json).
+    "seedvr2": (0.3, -0.3),
     # rife: the round-4 widened motion bank (train/cli.py mixed bank)
     # hardened the interpolation eval; the bundled weights (trained
     # pre-widening) measure +1.93 dB mean on it (was +11.9 dB on the
