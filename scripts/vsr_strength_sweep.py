@@ -25,11 +25,18 @@ from video_enhancer_tpu.train.evalsuite import (  # noqa: E402
 
 
 def main():
+    import os
+
     name = sys.argv[1]
     alphas = ([float(a) for a in sys.argv[2].split(",")]
               if len(sys.argv) > 2 else [0.5, 0.7, 0.85, 1.0])
+    # Sweep the RAW model: model_entry bakes in the shipped calibrated
+    # strength (runtime/calibration.py), which would compose with the
+    # swept alpha.
+    os.environ[f"VETPU_STRENGTH_{name.upper()}"] = "1.0"
     init_fn, apply_fn, npz, kind = model_entry(name)
-    assert kind == "vsr4", f"{name} is not a 4x VSR entry"
+    assert kind in ("vsr4", "vsr2"), f"{name} is not a VSR entry"
+    scale = 4 if kind == "vsr4" else 2
     params = try_load_params(npz, init_fn())
     assert params is not None
 
@@ -46,7 +53,8 @@ def main():
         row = {"model": name, "alpha": alpha}
         for family in ("ind", "alt"):
             row[family] = round(
-                vsr_gain(blended(alpha), params, family, 4, n_seeds=6), 3)
+                vsr_gain(blended(alpha), params, family, scale,
+                         n_seeds=6), 3)
         print(json.dumps(row), flush=True)
 
 

@@ -136,6 +136,7 @@ def _serving_mesh(policy: Policy):
 
 
 def _build(name: str, policy: Policy, seed: int):
+    from .calibration import calibrate_restore, calibrate_vsr
     from .vsr_handler import VSRHandler
 
     entry = policy.models.get(name)
@@ -175,7 +176,10 @@ def _build(name: str, policy: Policy, seed: int):
                                   variant="" if mixer == "ssm" else mixer,
                                   temporal_mixer=mixer)
         return VSRHandler(
-            name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
+            name,
+            calibrate_vsr(name,
+                          lambda p, x: m.apply(p, x, scale=entry.scale)),
+            params,
             scale=entry.scale, chunk=entry.chunk, overlap=entry.overlap,
             tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
         )
@@ -202,7 +206,9 @@ def _build(name: str, policy: Policy, seed: int):
                                   scale=entry.scale, mixer=mixer)
         return VSRHandler(
             name,
-            lambda p, x: m.apply(p, x, scale=entry.scale, mixer=mixer),
+            calibrate_vsr(name, lambda p, x: m.apply(p, x,
+                                                     scale=entry.scale,
+                                                     mixer=mixer)),
             params,
             scale=entry.scale, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
@@ -242,10 +248,12 @@ def _build(name: str, policy: Policy, seed: int):
         # (reference ditvr estimates it per clip, ditvr_handler.py:718-788).
         return VSRHandler(
             name,
-            lambda p, x, degradation_scores, degradation_type: m.apply(
-                p, x, degradation_type=degradation_type,
-                degradation_scores=degradation_scores, heads=heads,
-            ),
+            calibrate_restore(
+                name,
+                lambda p, x, degradation_scores, degradation_type: m.apply(
+                    p, x, degradation_type=degradation_type,
+                    degradation_scores=degradation_scores, heads=heads,
+                )),
             params,
             scale=1, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
@@ -264,7 +272,10 @@ def _build(name: str, policy: Policy, seed: int):
         params, _ = _load_or_init(name, entry, m.init, dim=dim,
                                   scale=entry.scale)
         return VSRHandler(
-            name, lambda p, x: m.apply(p, x, scale=entry.scale), params,
+            name,
+            calibrate_vsr(name,
+                          lambda p, x: m.apply(p, x, scale=entry.scale)),
+            params,
             scale=entry.scale, chunk=entry.window,
             overlap=max(entry.window - entry.stride, 0),
             tile=entry.tile, tile_overlap=entry.tile_overlap, mesh=mesh,
@@ -318,8 +329,13 @@ def _build(name: str, policy: Policy, seed: int):
             out = m.apply(p, frames, scale=entry.scale)
             return out.reshape((b, t) + out.shape[1:])
 
+        # Calibrated strength applies to the bundled synthetic-trained
+        # weights only; the official-checkpoint path above serves the
+        # released Real-ESRGAN at full strength (its weights were not
+        # part of the sweep).
         return VSRHandler(
-            name, clip_apply, params, scale=entry.scale,
+            name, calibrate_vsr(name, clip_apply), params,
+            scale=entry.scale,
             chunk=4, overlap=0, tile=entry.tile,
             tile_overlap=entry.tile_overlap, mesh=mesh,
         )

@@ -68,6 +68,13 @@ class RIFEHandler:
             lambda a: a.astype(compute_dtype), self.params
         )
         self.compute_dtype = compute_dtype
+        if not self.meta.get("official"):
+            # Calibrated strength covers the bundled synthetic-trained
+            # weights only (runtime/calibration.py); a provided released
+            # IFNet checkpoint serves at full strength.
+            from .calibration import calibrate_interp
+
+            interp_fn = calibrate_interp("rife", interp_fn)
         self._mid = jax.jit(
             lambda p, a, b: interp_fn(
                 p, a.astype(compute_dtype), b.astype(compute_dtype)

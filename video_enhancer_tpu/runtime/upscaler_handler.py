@@ -48,9 +48,13 @@ class CnnUpscalerHandler:
             self.params = jax.tree.map(
                 lambda a: a.astype(compute_dtype), self.params
             )
+            from .calibration import calibrate_vsr
+
+            raw = calibrate_vsr(
+                "cnn_upscaler",
+                lambda p, x: upscaler.apply(p, x, scale=scale, s2d=s2d))
             self._fwd = jax.jit(
-                lambda p, x: upscaler.apply(p, x.astype(compute_dtype),
-                                            scale=scale, s2d=s2d)
+                lambda p, x: raw(p, x.astype(compute_dtype))
                 .astype(jnp.float32)
             )
         else:

@@ -143,7 +143,27 @@ def interp_gain(interp_fn, params, family: str, *, crop: int = 128,
 @functools.lru_cache(maxsize=None)
 def model_entry(name: str):
     """(init_fn, apply_fn, npz_path, kind) per bundled model; the single
-    place eval configs live so the gates and the report can't drift."""
+    place eval configs live so the gates and the report can't drift.
+
+    ``apply_fn`` includes the model's calibrated output strength
+    (runtime/calibration.py) exactly as the serving handlers apply it, so
+    every gain measured here is the gain a served video gets. The
+    strength-sweep scripts pin ``VETPU_STRENGTH_<NAME>=1.0`` to measure
+    the raw model instead."""
+    init_fn, apply_fn, npz, kind = _raw_model_entry(name)
+    if name != "seedvr2":  # seedvr2's strength lives inside its apply
+        from ..runtime import calibration as cal
+
+        if kind in ("vsr4", "vsr2"):
+            apply_fn = cal.calibrate_vsr(name, apply_fn)
+        elif kind == "restore":
+            apply_fn = cal.calibrate_restore(name, apply_fn)
+        else:
+            apply_fn = cal.calibrate_interp(name, apply_fn)
+    return init_fn, apply_fn, npz, kind
+
+
+def _raw_model_entry(name: str):
     import jax
 
     if name == "vsrm":
