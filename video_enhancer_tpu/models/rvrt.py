@@ -114,12 +114,18 @@ def _swin_block(blk, x, heads, window, shift, relpos_idx):
     bias = blk["bias_table"][relpos_idx]          # (N, N, heads)
     bias = bias.transpose(2, 0, 1)                # (heads, N, N)
     if (jax.default_backend() == "tpu"
-            and os.environ.get("VETPU_RVRT_ATTN", "kernel") != "ref"):
-        # Fused windowed-attention kernel: the XLA path materializes the
-        # fp32 (nW, heads, N, N) logits through softmax in HBM (~966 MB a
-        # forward at 8x180p — the measured bulk of rvrt's runtime,
-        # scripts/profile_ablate.py round-5 log); the kernel keeps each
-        # window group's scores in VMEM.
+            and os.environ.get("VETPU_RVRT_ATTN", "ref") == "kernel"):
+        # Fused windowed-attention Pallas kernel (VETPU_RVRT_ATTN=kernel):
+        # keeps each window group's scores in VMEM instead of the XLA
+        # path's fp32 (nW, heads, N, N) logits round-trip through HBM.
+        # MEASURED SLOWER than the XLA path on the real chip and therefore
+        # NOT the default: interleaved A/B at 8x180p (scripts/
+        # rvrt_kernel_ab.py, round-5 log) — ref 40.0 ms vs kernel 48.7 ms
+        # median, bit-exact (max|delta| = 0). XLA already fuses the
+        # softmax well enough that the kernel's per-group grid overhead
+        # and unfused qkv/proj boundaries cost more than the HBM traffic
+        # it saves. Kept behind the env for future shapes where the
+        # logits tensor dominates (larger windows / more heads).
         from ..ops.attention import window_attention_diffable
 
         a = window_attention_diffable(mh(q), mh(k), mh(v), bias,
