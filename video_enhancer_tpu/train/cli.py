@@ -14,10 +14,52 @@ import json
 import time
 
 
+#: model -> calibration wrapper kind (runtime/calibration.py). seedvr2 is
+#: absent: its strength lives inside models/seedvr2.apply already.
+_CAL_KIND = {
+    "cnn_upscaler": "vsr", "fast_mamba_vsr": "vsr", "vsrm": "vsr",
+    "realesrgan": "vsr", "rvrt": "vsr", "ditvr": "restore", "rife": "interp",
+}
+
+
+def _through_calibration(name: str, cal_name: str, apply_clip, interp_fn):
+    """Wrap the training apply with the SERVED calibrated output strength
+    (runtime/calibration.py) so the loss optimizes exactly what serving
+    and the eval gates measure: ``s*model(x) + (1-s)*fallback(x)``. This
+    is the seedvr2 pattern (models/seedvr2.py trains through its internal
+    blend) generalized to the zoo; at s<1 the raw-output loss and the
+    served-output loss are different objectives, and round-5 measured the
+    gap (BENCH_RESULTS.md round-5 calibration log)."""
+    from ..runtime import calibration as cal
+
+    kind = _CAL_KIND.get(name)
+    if kind == "interp":
+        mid_fn = cal.calibrate_interp(cal_name, interp_fn)
+
+        def apply_pair_clip(p, clip):
+            return mid_fn(p, clip[:, 0], clip[:, 1])[:, None]
+
+        return apply_pair_clip
+    if kind == "restore":
+        return cal.calibrate_restore(cal_name, apply_clip)
+    if kind == "vsr":
+        return cal.calibrate_vsr(cal_name, apply_clip)
+    return apply_clip
+
+
 def build_model(name: str, scale: int, dim: int | None = None,
                 layers: int | None = None, heads: int | None = None,
-                temporal_mixer: str = "ssm"):
+                temporal_mixer: str = "ssm",
+                cal_name: str | None = None):
+    """cal_name: train THROUGH the served calibrated output strength of
+    that model name (e.g. 'realesrgan_fast' while --model realesrgan
+    builds the half-trunk preset); None trains the raw model output."""
     import jax
+
+    def wrap(apply_clip, interp_fn=None):
+        if cal_name is None:
+            return apply_clip
+        return _through_calibration(name, cal_name, apply_clip, interp_fn)
 
     key = jax.random.PRNGKey(0)
     if name == "cnn_upscaler":
@@ -32,19 +74,19 @@ def build_model(name: str, scale: int, dim: int | None = None,
             out = upscaler.apply(p, frames, scale=scale, s2d=4)
             return out.reshape((b, t) + out.shape[1:])
 
-        return params, apply_clip
+        return params, wrap(apply_clip)
     if name == "fast_mamba_vsr":
         from ..models import fast_mamba_vsr as m
 
         params, meta = m.init(key, dim=dim or 48, num_layers=layers or 8,
                               scale=scale, temporal_mixer=temporal_mixer)
-        return params, lambda p, c: m.apply(p, c, scale=scale)
+        return params, wrap(lambda p, c: m.apply(p, c, scale=scale))
     if name == "vsrm":
         from ..models import vsrm as m
 
         params, meta = m.init(key, dim=dim or 64, num_blocks=layers or 6,
                               scale=scale)
-        return params, lambda p, c: m.apply(p, c, scale=scale)
+        return params, wrap(lambda p, c: m.apply(p, c, scale=scale))
     if name == "realesrgan":
         from ..models import realesrgan as m
 
@@ -57,7 +99,7 @@ def build_model(name: str, scale: int, dim: int | None = None,
             out = m.apply(p, frames, scale=scale)
             return out.reshape((b, t) + out.shape[1:])
 
-        return params, apply_clip
+        return params, wrap(apply_clip)
     if name == "seedvr2":
         from ..models import seedvr2 as m
 
@@ -72,13 +114,13 @@ def build_model(name: str, scale: int, dim: int | None = None,
         h = heads or 6
         params, meta = m.init(key, dim=dim or 384, depth=layers or 8,
                               heads=h)
-        return params, lambda p, c: m.apply(p, c, heads=h)
+        return params, wrap(lambda p, c: m.apply(p, c, heads=h))
     if name == "rvrt":
         from ..models import rvrt as m
 
         params, meta = m.init(key, dim=dim or 64, depth=layers or 4,
                               scale=scale)
-        return params, lambda p, c: m.apply(p, c, scale=scale)
+        return params, wrap(lambda p, c: m.apply(p, c, scale=scale))
     if name == "rife":
         from ..models import rife as m
 
@@ -90,7 +132,7 @@ def build_model(name: str, scale: int, dim: int | None = None,
             mid = m.interpolate_pair(p, clip[:, 0], clip[:, 1])
             return mid[:, None]
 
-        return params, apply_pair_clip
+        return params, wrap(apply_pair_clip, interp_fn=m.interpolate_pair)
     raise SystemExit(f"unsupported trainable model: {name}")
 
 
@@ -152,6 +194,15 @@ def main(argv=None):
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--mesh-space", type=int, default=1)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--through-calibration", default=None, metavar="NAME",
+                   help="train THROUGH the served calibrated output "
+                        "strength of this model name (runtime/"
+                        "calibration.py), so the loss optimizes exactly "
+                        "what serving and the eval gates measure; e.g. "
+                        "'vsrm', or 'realesrgan_fast' while --model "
+                        "realesrgan builds the half-trunk preset. "
+                        "Default: raw model output (pre-round-5 "
+                        "behavior).")
     p.add_argument("--time-budget-s", type=float, default=None,
                    help="stop training cleanly after this many seconds "
                         "(checkpoint + export still run; resumable via "
@@ -198,7 +249,8 @@ def main(argv=None):
 
     params, apply_clip = build_model(args.model, args.scale, dim=args.dim,
                                      layers=args.layers, heads=args.heads,
-                                     temporal_mixer=args.temporal_mixer)
+                                     temporal_mixer=args.temporal_mixer,
+                                     cal_name=args.through_calibration)
     if args.init_npz:
         from ..runtime.weights import try_load_params
 
