@@ -101,3 +101,54 @@ def test_seedvr2_not_double_blended():
     table must not wrap it again."""
     assert "seedvr2" not in CALIBRATED_STRENGTH
     assert strength_for("seedvr2") == 1.0
+
+
+def test_registry_vsr_handler_serves_calibrated_blend(monkeypatch):
+    """registry._build must wrap the clip apply with the calibrated
+    strength — otherwise serving drifts from what the gates measure."""
+    monkeypatch.setenv("VETPU_STRENGTH_REALESRGAN_FAST", "0.5")
+    from video_enhancer_tpu.config import load_policy
+    from video_enhancer_tpu.models import realesrgan as m
+    from video_enhancer_tpu.runtime import registry
+
+    h = registry._build("realesrgan_fast", load_policy(), seed=0)
+    rng = np.random.default_rng(3)
+    clip = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    got = h.process_clip(clip)[None]
+    clip = clip[None]
+
+    def raw_clip_apply(p, c):
+        b, t = c.shape[0], c.shape[1]
+        out = m.apply(p, c.reshape((b * t,) + c.shape[2:]), scale=4)
+        return out.reshape((b, t) + out.shape[1:])
+
+    want = calibrate_vsr("realesrgan_fast", raw_clip_apply)(h.params, clip)
+    # The handler computes in bfloat16; the fp32 reference agrees to
+    # bf16 precision. The no-op alternative (raw output) differs by far
+    # more than that, so the tolerance still proves the wrapper is wired.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    raw = jnp.clip(raw_clip_apply(h.params, clip), 0, 1)
+    assert float(jnp.max(jnp.abs(want - raw))) > 6e-2
+
+
+def test_rife_handler_serves_calibrated_mid(monkeypatch):
+    monkeypatch.setenv("VETPU_STRENGTH_RIFE", "0.5")
+    from video_enhancer_tpu.models import rife
+    from video_enhancer_tpu.runtime.rife_handler import RIFEHandler
+
+    h = RIFEHandler(dim=8, levels=2)
+    rng = np.random.default_rng(4)
+    f0 = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    f1 = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    got = h._mid(h.params, f0, f1)
+
+    def raw_mid(p, a, b):
+        return rife.interpolate_pair(
+            p, a.astype(h.compute_dtype), b.astype(h.compute_dtype))
+
+    want = calibrate_interp("rife", raw_mid)(h.params, f0, f1)
+    # bf16 compute: the handler averages the base pair in bf16, the fp32
+    # reference before casting — agreement to a bf16 ulp proves wiring.
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want, dtype=np.float32),
+                               atol=1e-2)
