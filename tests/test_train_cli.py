@@ -36,3 +36,37 @@ def test_train_cli_tiny_run_and_warm_start(tmp_path, capsys):
         "--platform", "cpu",
     ], capsys)
     assert "warm-started" in out2
+
+
+def test_build_model_through_calibration(monkeypatch):
+    """--through-calibration trains the SERVED blended objective: the
+    built apply must equal s*raw + (1-s)*fallback at the shipped (or
+    env-overridden) strength, per wrapper kind."""
+    import jax.numpy as jnp
+
+    from video_enhancer_tpu.ops import resize
+    from video_enhancer_tpu.train.cli import build_model
+
+    monkeypatch.setenv("VETPU_STRENGTH_CNN_UPSCALER", "0.25")
+    params, cal_apply = build_model("cnn_upscaler", 2, dim=16,
+                                    cal_name="cnn_upscaler")
+    _, raw_apply = build_model("cnn_upscaler", 2, dim=16)
+    rng = np.random.default_rng(5)
+    clip = jnp.asarray(rng.random((1, 2, 16, 16, 3), dtype=np.float32))
+    got = cal_apply(params, clip)
+    base = jnp.clip(resize(clip, (32, 32), method="cubic"), 0.0, 1.0)
+    want = jnp.clip(0.25 * raw_apply(params, clip) + 0.75 * base, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # rife routes through the interp wrapper: blend toward the frame pair
+    # average, midpoint returned as a length-1 clip.
+    monkeypatch.setenv("VETPU_STRENGTH_RIFE", "0.5")
+    params, cal_pair = build_model("rife", 1, dim=8, layers=2,
+                                   cal_name="rife")
+    _, raw_pair = build_model("rife", 1, dim=8, layers=2)
+    pair = jnp.asarray(rng.random((1, 2, 16, 16, 3), dtype=np.float32))
+    got = cal_pair(params, pair)
+    avg = (pair[:, 0] + pair[:, 1]) / 2
+    want = jnp.clip(0.5 * raw_pair(params, pair)[:, 0] + 0.5 * avg,
+                    0.0, 1.0)[:, None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
