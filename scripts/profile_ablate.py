@@ -1,9 +1,10 @@
-"""Stage-ablation profiler for rife / rvrt (round-5 verdict item 8).
+"""Stage-ablation profiler for rife / rvrt / seedvr2 (round-5 verdict
+item 8 + weak #6).
 
 Times progressively larger prefixes of each model's forward with the
 slope method (utils/timing.py), attributing wall time to stages without
 jax.profiler (whose trace collection is unreliable through the TPU
-tunnel). Usage: python scripts/profile_ablate.py {rife,rvrt} [T]
+tunnel). Usage: python scripts/profile_ablate.py {rife,rvrt,seedvr2} [T]
 """
 import sys
 
@@ -132,6 +133,35 @@ def profile_rvrt():
                               antialias=False), x)
 
 
+def profile_seedvr2():
+    from video_enhancer_tpu.models import seedvr2
+    from video_enhancer_tpu.models.diffusion import unet_apply
+    from video_enhancer_tpu.models.seedvr2 import (_flownet_apply,
+                                                   _tc_apply)
+    from video_enhancer_tpu.ops.warp import flow_warp
+
+    t, s = 8, 256  # the bench shape (bench.py seedvr2_256_restore)
+    params, _ = seedvr2.init(jax.random.PRNGKey(0))
+    pb = bf16(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, t, s, s, 3),
+                           jnp.bfloat16)
+
+    time_fn("full apply (s=1, pure model)",
+            lambda xx: seedvr2.apply(pb, xx, strength=1.0), x)
+    xin = jnp.concatenate([x, x], axis=-1)  # (B,T,H,W,6) UNet input
+    tf = jnp.full((1,), 500.0, jnp.float32)
+    time_fn("unet_apply", lambda xx: unet_apply(pb["unet"], xx, tf), xin)
+    time_fn("tc module (attn+flow+warp+fuse)",
+            lambda xx: _tc_apply(pb["tc"], xx), x)
+    f2 = x.reshape(t, s, s, 3)
+    time_fn("tc: flownet",
+            lambda aa, bb: _flownet_apply(pb["tc"]["flow"], aa, bb), f2, f2)
+    flow = jax.random.uniform(jax.random.PRNGKey(2), (t, s, s, 2),
+                              jnp.bfloat16) * 2.0
+    time_fn("tc: flow_warp", lambda ff, fl: flow_warp(ff, fl), f2, flow)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "rife"
-    (profile_rife if which == "rife" else profile_rvrt)()
+    {"rife": profile_rife, "rvrt": profile_rvrt,
+     "seedvr2": profile_seedvr2}[which]()
