@@ -203,6 +203,17 @@ def main(argv=None):
                         "realesrgan builds the half-trunk preset. "
                         "Default: raw model output (pre-round-5 "
                         "behavior).")
+    p.add_argument("--correction-penalty", type=float, default=0.0,
+                   metavar="LAMBDA",
+                   help="L2 penalty on the served output's distance from "
+                        "the model's non-ML fallback (bicubic / input / "
+                        "pair average per kind). Adaptive shrinkage: the "
+                        "optimizer keeps corrections that reduce fit loss "
+                        "more than LAMBDA * magnitude and suppresses the "
+                        "low-signal (family-specific) rest — the recorded "
+                        "fix attempt for the r5d through-calibration alt "
+                        "collapse (vsrm alt +0.008 -> -0.432 at "
+                        "LAMBDA=0).")
     p.add_argument("--time-budget-s", type=float, default=None,
                    help="stop training cleanly after this many seconds "
                         "(checkpoint + export still run; resumable via "
@@ -262,8 +273,33 @@ def main(argv=None):
             print(f"warm-start failed for {args.init_npz}; random init")
     optimizer = make_optimizer(lr=args.lr)
     mesh = make_mesh(args.mesh_data, args.mesh_time, args.mesh_space)
+    step_kw = {}
+    if args.correction_penalty > 0.0:
+        import jax.numpy as jnp
+
+        from ..ops import resize
+        from .losses import vsr_loss
+
+        kind = _CAL_KIND.get(args.model, "vsr")
+        lam = float(args.correction_penalty)
+
+        def _fallback(lr_clip, pred):
+            if kind == "restore":
+                return lr_clip
+            if kind == "interp":  # pair -> midpoint fallback = average
+                return jnp.mean(lr_clip, axis=1, keepdims=True)
+            base = resize(lr_clip, (pred.shape[-3], pred.shape[-2]),
+                          method="cubic")
+            return jnp.clip(base, 0.0, 1.0)
+
+        def penalized_loss(pred, hr, lr):
+            base = _fallback(lr, pred).astype(pred.dtype)
+            pen = jnp.mean((pred - base) ** 2)
+            return vsr_loss(pred, hr) + lam * pen
+
+        step_kw["loss_fn"] = penalized_loss
     init_state, train_step, shard_batch = make_train_step(
-        apply_clip, optimizer, mesh
+        apply_clip, optimizer, mesh, **step_kw
     )
 
     if args.model == "rife":

@@ -69,8 +69,17 @@ def make_train_step(
             step=jnp.zeros((), jnp.int32),
         )
 
+    import inspect
+
+    # A loss that declares an ``lr`` kwarg also receives the input clip
+    # (e.g. the correction-magnitude penalty in train/cli.py, which needs
+    # the non-ML fallback derived from the input).
+    _loss_wants_lr = "lr" in inspect.signature(loss_fn).parameters
+
     def _loss(params, lr, hr):
         pred = apply_fn(params, lr)
+        if _loss_wants_lr:
+            return loss_fn(pred, hr, lr=lr)
         return loss_fn(pred, hr)
 
     @jax.jit
